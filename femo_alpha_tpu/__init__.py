@@ -1,0 +1,38 @@
+"""femo_alpha_tpu — a TPU-native differentiable-FEM + adjoint-optimization framework.
+
+Re-implements the capability surface of LSDOlab/femo_alpha (reference:
+/root/reference, see SURVEY.md) with a TPU-first architecture:
+
+- element kernels are pure JAX per-cell functions; residuals/Jacobians/partials
+  come from `jax.grad`/`jax.jacfwd` (replacing UFL `derivative` + FFCx codegen)
+- assembly is gather -> batched-compute -> segment_sum scatter on device
+  (replacing dolfinx C++ assembly + PETSc scatters)
+- solves are matrix-free preconditioned Krylov or batched dense direct on
+  device (replacing PETSc KSP + MUMPS LU)
+- adjoints come from `jax.custom_vjp` implementing the implicit-function
+  theorem, and `lax.scan` + `jax.checkpoint` for transient problems
+  (replacing csdl CustomImplicitOperation machinery)
+
+float64 is enabled by default (set FEMO_X64=0 to disable) because the
+reference stack is float64 end-to-end and the correctness anchors require
+~1e-8 agreement. Hot paths may downcast internally where safe.
+"""
+
+import os as _os
+
+import jax as _jax
+
+# Select the platform explicitly when asked (the JAX_PLATFORMS env var can be
+# shadowed by platform plugins; the config route always wins). Tests set
+# FEMO_PLATFORM=cpu to run on a virtual multi-device CPU mesh.
+_platform = _os.environ.get("FEMO_PLATFORM")
+if _platform:
+    _jax.config.update("jax_platforms", _platform)
+
+_X64 = _os.environ.get("FEMO_X64", "1") != "0"
+if _X64:
+    _jax.config.update("jax_enable_x64", True)
+
+__version__ = "0.1.0"
+
+from . import config  # noqa: E402,F401

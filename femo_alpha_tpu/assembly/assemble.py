@@ -1,0 +1,111 @@
+"""Gather -> batched cell kernel -> segment_sum scatter assembly.
+
+This is the TPU-native replacement of dolfinx `assemble_vector/matrix`
+(SURVEY.md §2.2): every cell's local contribution is computed by one
+`jax.vmap`-batched pure function, then scattered with `segment_sum`. Because
+assembly is pure JAX, partial derivatives of the residual w.r.t. any
+parameter (dR/df in the reference, state_operation.py:222-258) come from
+`jax.vjp` through this function — no hand-written partial forms.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def scatter_add(dofmap_d, cell_vals, n_dofs):
+    """Scatter-add per-cell local vectors into a global vector.
+
+    dofmap_d: (nc, nd) int32; cell_vals: (nc, nd); returns (n_dofs,)."""
+    return jax.ops.segment_sum(
+        cell_vals.reshape(-1), dofmap_d.reshape(-1), num_segments=n_dofs
+    )
+
+
+class FemForm:
+    """A weak form defined by a per-cell kernel over one state space.
+
+    kernel(u_cell, x_cell, params) -> local residual (nd_local,) if
+    `kind='residual'`, or a scalar cell energy/functional if `kind='energy'`
+    (the residual is then its gradient — exactly how the reference derives
+    residuals from energies via Gateaux derivative,
+    linear_shell_model.py:308-321).
+
+    param_specs: dict name -> FunctionSpace (cell-gathered) or None (scalar /
+    global value passed through unmapped).
+    """
+
+    def __init__(self, space, kernel, kind="residual", param_specs=None):
+        self.space = space
+        self.param_specs = dict(param_specs or {})
+        if kind == "energy":
+            self.energy_kernel = kernel
+            self.kernel = jax.grad(kernel, argnums=0)
+        else:
+            self.energy_kernel = None
+            self.kernel = kernel
+
+    def gather_params(self, params):
+        out, axes = {}, {}
+        for name, sp in self.param_specs.items():
+            v = params[name]
+            if sp is None:
+                out[name] = v
+                axes[name] = None
+            else:
+                out[name] = jnp.asarray(v)[sp.dofmap_d]
+                axes[name] = 0
+        return out, axes
+
+    def cell_values(self, fn, u, params):
+        """vmap fn(u_cell, x_cell, pcells) over cells."""
+        uc = jnp.asarray(u)[self.space.dofmap_d]
+        pc, axes = self.gather_params(params)
+        return jax.vmap(fn, in_axes=(0, 0, axes))(
+            uc, self.space.cell_coords_d, pc
+        )
+
+
+def assemble_residual(form: FemForm, u, params=None):
+    params = params or {}
+    rc = form.cell_values(form.kernel, u, params)
+    return scatter_add(form.space.dofmap_d, rc, form.space.n_dofs)
+
+
+def assemble_scalar(form_or_space, kernel_or_u=None, u=None, params=None):
+    """assemble_scalar(form, u, params) for an energy-kind form: sum of cell
+    energies (a global functional, parity with assembleScalar,
+    utils_dolfinx.py:188)."""
+    form, u, params = form_or_space, kernel_or_u, u or {}
+    vals = form.cell_values(form.energy_kernel, u, params)
+    return jnp.sum(vals)
+
+
+def element_matrices(form: FemForm, u, params=None):
+    """Per-cell Jacobian dR_cell/du_cell: (nc, nd, nd). Replaces
+    `ufl.derivative(R, u)` + FFCx matrix kernels (fea_dolfinx.py:81-82)."""
+    params = params or {}
+    jac = jax.jacfwd(form.kernel, argnums=0)
+    return form.cell_values(jac, u, params)
+
+
+def make_matvec(Ae, dofmap_d, n_dofs):
+    """Matrix-free operator x -> A@x from precomputed element matrices.
+
+    The einsum is a large batched matmul (MXU-friendly); gather/scatter ride
+    XLA's dynamic-gather and segment_sum."""
+
+    def matvec(x):
+        xc = x[dofmap_d]
+        yc = jnp.einsum("cij,cj->ci", Ae, xc)
+        return scatter_add(dofmap_d, yc, n_dofs)
+
+    return matvec
+
+
+def make_jvp_matvec(residual_fn, u):
+    """Matrix-free Jacobian-vector operator via linearization of an assembled
+    residual (for nonlinear problems where element matrices are not cached)."""
+    _, lin = jax.linearize(residual_fn, u)
+    return lin

@@ -1,0 +1,23 @@
+"""Mesh containers, built-in mesh generation, and mesh I/O.
+
+Replaces the dolfinx C++ mesh/topology layer (SURVEY.md §2.2). Setup-time
+topology (edge extraction, boundary facets, dof layouts) is numpy on host;
+coordinates/connectivity are transferred to HBM once by the function spaces.
+"""
+
+from .mesh import Mesh, LOCAL_EDGES
+from .generation import (
+    createIntervalMesh,
+    createRectangleMesh,
+    createUnitSquareMesh,
+    reconstructFEAMesh,
+)
+
+__all__ = [
+    "Mesh",
+    "LOCAL_EDGES",
+    "createIntervalMesh",
+    "createRectangleMesh",
+    "createUnitSquareMesh",
+    "reconstructFEAMesh",
+]

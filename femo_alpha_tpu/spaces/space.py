@@ -1,0 +1,192 @@
+"""Function spaces: dofmaps + dof coordinates + Function containers.
+
+Replaces dolfinx FunctionSpace / dofmap machinery (SURVEY.md §2.2). Dofmaps
+are built once in numpy; device copies live on the space as jnp arrays.
+
+Local dof ordering inside a cell:
+  scalar: [vertex dofs (element order), edge dofs, cell dofs]
+  vector (value_size=vs): interleaved — local index a*vs + c for scalar dof a,
+  component c; globally dof = scalar_dof*vs + c (block layout, matching
+  dolfinx blocked spaces).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..elements import reference_element, tabulate
+from ..mesh import Mesh
+
+
+def _build_scalar_dofmap(mesh: Mesh, elem):
+    """Returns (dofmap (n_cells, nd) int32, n_scalar_dofs)."""
+    nv_d, ne_d, nc_d = elem.entity_dofs
+    mesh._build_topology()
+    cols = []
+    n_local_vertices = mesh.conn.shape[1]
+    if nv_d > 0:
+        for v in range(n_local_vertices):
+            for k in range(nv_d):
+                cols.append(nv_d * mesh.conn[:, v] + k)
+    off_e = nv_d * mesh.n_nodes
+    if ne_d > 0:
+        for e in range(mesh.cell_edges.shape[1]):
+            for k in range(ne_d):
+                cols.append(off_e + ne_d * mesh.cell_edges[:, e] + k)
+    off_c = off_e + ne_d * mesh.n_edges
+    if nc_d > 0:
+        cid = np.arange(mesh.n_cells)
+        for k in range(nc_d):
+            cols.append(off_c + nc_d * cid + k)
+    dofmap = np.stack(cols, axis=1).astype(np.int32)
+    n_dofs = off_c + nc_d * mesh.n_cells
+    assert dofmap.shape[1] == elem.ndof, (dofmap.shape, elem.ndof)
+    return dofmap, n_dofs
+
+
+class FunctionSpace:
+    """A (possibly vector-valued) finite element space on a mesh."""
+
+    def __init__(self, mesh: Mesh, family: str, degree: int, value_size: int = 1):
+        self.mesh = mesh
+        self.family = family
+        self.degree = degree
+        self.value_size = value_size
+        self.element = reference_element(family, mesh.cell_type, degree)
+        self.scalar_dofmap, self.n_scalar_dofs = _build_scalar_dofmap(
+            mesh, self.element
+        )
+        self.n_dofs = self.n_scalar_dofs * value_size
+        self.nd_local = self.element.ndof * value_size
+        if value_size == 1:
+            self.dofmap = self.scalar_dofmap
+        else:
+            vs = value_size
+            self.dofmap = (
+                self.scalar_dofmap[:, :, None] * vs + np.arange(vs)[None, None, :]
+            ).reshape(mesh.n_cells, -1).astype(np.int32)
+        # device copies
+        self.dofmap_d = jnp.asarray(self.dofmap)
+        self.cell_coords_d = jnp.asarray(mesh.cell_coords())
+        self._dof_coords = None
+
+    # ------------------------------------------------------------- coords
+    @property
+    def dof_coords(self):
+        """(n_scalar_dofs, gdim) physical coordinates of each scalar dof
+        (Hermite derivative dofs share their vertex coordinate)."""
+        if self._dof_coords is None:
+            elem = self.element
+            geom = reference_element("P", self.mesh.cell_type, 1)
+            gphi = geom.tabulate(elem.node_coords, 0)  # (nd, nv)
+            # physical node positions per cell: (nc, nd, gdim)
+            pos = np.einsum("ab,cbg->cag", gphi, self.mesh.cell_coords())
+            coords = np.zeros((self.n_scalar_dofs, self.mesh.gdim))
+            coords[self.scalar_dofmap.ravel()] = pos.reshape(-1, self.mesh.gdim)
+            self._dof_coords = coords
+        return self._dof_coords
+
+    def tabulate(self, quad_degree=None, with_hessian=False, points=None,
+                 weights=None):
+        return tabulate(
+            self.family,
+            self.mesh.cell_type,
+            self.degree,
+            quad_degree=quad_degree,
+            with_hessian=with_hessian,
+            points=points,
+            weights=weights,
+        )
+
+    def function(self, array=None, name=None):
+        return Function(self, array=array, name=name)
+
+    def __repr__(self):
+        return (
+            f"FunctionSpace({self.element.name}, vs={self.value_size}, "
+            f"ndofs={self.n_dofs})"
+        )
+
+
+class MixedSpace:
+    """Concatenation of function spaces (e.g. RM shell: CG2 vec3 x CG1 vec3).
+
+    Global vector = [sub0 dofs | sub1 dofs | ...]. Per-cell local dofs are
+    the concatenation of each sub's local dofs; `dofmap` maps into the global
+    concatenated vector.
+    """
+
+    def __init__(self, *subspaces: FunctionSpace):
+        self.subspaces = list(subspaces)
+        self.mesh = subspaces[0].mesh
+        self.offsets = np.cumsum([0] + [s.n_dofs for s in self.subspaces])
+        self.n_dofs = int(self.offsets[-1])
+        self.nd_local = sum(s.nd_local for s in self.subspaces)
+        maps = [
+            s.dofmap + off for s, off in zip(self.subspaces, self.offsets[:-1])
+        ]
+        self.dofmap = np.concatenate(maps, axis=1).astype(np.int32)
+        self.dofmap_d = jnp.asarray(self.dofmap)
+        self.cell_coords_d = subspaces[0].cell_coords_d
+        self.local_slices = []
+        o = 0
+        for s in self.subspaces:
+            self.local_slices.append(slice(o, o + s.nd_local))
+            o += s.nd_local
+
+    def split(self, x):
+        """Split a global mixed vector into per-subspace vectors."""
+        return [
+            x[self.offsets[i]: self.offsets[i + 1]]
+            for i in range(len(self.subspaces))
+        ]
+
+    def function(self, array=None, name=None):
+        return Function(self, array=array, name=name)
+
+
+class Function:
+    """A coefficient vector in a space. Thin wrapper: `.x` is the jnp array."""
+
+    def __init__(self, space, array=None, name=None):
+        self.space = space
+        self.name = name
+        from ..config import fdtype
+
+        if array is None:
+            self.x = jnp.zeros(space.n_dofs, dtype=fdtype())
+        else:
+            self.x = jnp.asarray(array, dtype=fdtype()).reshape(space.n_dofs)
+
+    def interpolate(self, fn):
+        """Interpolate a callable fn(coords (n, gdim)) -> (n,) or (n, vs)
+        at the dof coordinates (Lagrange spaces only)."""
+        sp = self.space
+        vals = np.asarray(fn(sp.dof_coords))
+        if sp.value_size == 1:
+            self.x = jnp.asarray(vals.reshape(-1))
+        else:
+            self.x = jnp.asarray(vals.reshape(-1))
+        return self
+
+    def copy(self):
+        return Function(self.space, array=self.x, name=self.name)
+
+
+def locate_dofs_geometric(space: FunctionSpace, predicate, component=None):
+    """Global dof indices whose coordinates satisfy `predicate(coords)->bool`.
+
+    Parity with dolfinx locate_dofs_geometrical (utils_dolfinx.py:626-651).
+    `component=None` selects all value components; an int selects one.
+    """
+    mask = np.asarray(predicate(space.dof_coords)).astype(bool)
+    scalar_dofs = np.where(mask)[0]
+    vs = space.value_size
+    if vs == 1:
+        return scalar_dofs.astype(np.int32)
+    if component is None:
+        return (scalar_dofs[:, None] * vs + np.arange(vs)[None, :]).reshape(
+            -1
+        ).astype(np.int32)
+    return (scalar_dofs * vs + component).astype(np.int32)
