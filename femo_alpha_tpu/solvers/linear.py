@@ -44,7 +44,7 @@ class LinearSolver:
         self.method = method
         self.symmetric = symmetric
         self.tol = tol
-        self.maxiter = maxiter or max(200, 4 * int(jnp.sqrt(n_dofs)) + 100)
+        self.maxiter = maxiter or max(200, 4 * int(n_dofs**0.5) + 100)
         self.free_mask = (
             jnp.ones(n_dofs, dtype=Ae.dtype) if free_mask is None else free_mask
         )
