@@ -47,6 +47,7 @@ class ImplicitPDE:
         bc_vals=None,
         newton_iters=1,
         solver_opts=None,
+        extra_residual=None,
     ):
         self.form = form
         n = form.space.n_dofs
@@ -57,21 +58,35 @@ class ImplicitPDE:
         self.bc_vals = jnp.zeros(n) if bc_vals is None else bc_vals
         self.newton_iters = newton_iters
         self.solver_opts = dict(solver_opts or {})
+        # extra_residual(u, params) -> (n_dofs,): non-cell terms — point
+        # loads, facet/boundary integrals (the reference's ds/dS measures,
+        # e.g. the beam tip load ex_thickness_opt_cantilever_beam.py:61-63)
+        self.extra_residual = extra_residual
         self._solve = _build_custom_vjp_solve(self)
 
     # -------------------------------------------------- raw pieces
     def residual(self, u, params):
         """Constrained residual: BC rows replaced by (u - u_bc)."""
         r = assemble_residual(self.form, u, params)
+        if self.extra_residual is not None:
+            r = r + self.extra_residual(u, params)
         return constrain_residual(r, u, self.free_mask, self.bc_vals)
 
     def make_solver(self, u, params) -> LinearSolver:
         Ae = element_matrices(self.form, u, params)
+        if self.extra_residual is not None:
+            # linearize the extra term; for load vectors (u-independent) this
+            # contributes nothing, for penalty-BC terms it adds their Jacobian
+            _, lin = jax.linearize(lambda v: self.extra_residual(v, params), u)
+            extra_lin = lin
+        else:
+            extra_lin = None
         return LinearSolver(
             Ae,
             self.form.space.dofmap_d,
             self.n_dofs,
             free_mask=self.free_mask,
+            extra_matvec=extra_lin,
             **self.solver_opts,
         )
 

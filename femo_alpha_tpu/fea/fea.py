@@ -1,0 +1,157 @@
+"""FEA: problem registry + solve façade — API parity with the reference's
+`FEA` class (fea_dolfinx.py:22-222: add_input/add_state/add_output/
+add_field_output/add_strong_bc/solve), rebuilt on the JAX core.
+
+Key difference from the reference: derivative forms are never registered.
+`ufl.derivative`-generated dR/du and per-argument dR/df forms
+(fea_dolfinx.py:81-82, :104-110) are replaced by jax.jacfwd/jax.vjp through
+the assembled residual inside ImplicitPDE.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..adjoint.implicit import ImplicitPDE
+from ..assembly.assemble import FemForm, assemble_scalar
+from ..assembly.bc import DirichletBC, combine_bcs
+from ..config import fdtype
+
+
+@dataclass
+class _Input:
+    space: object
+    init_val: object = None
+    record: bool = False
+
+
+@dataclass
+class _State:
+    form: FemForm
+    arguments: list
+    extra_residual: Optional[Callable] = None
+    newton_iters: int = 1
+    solver_opts: dict = field(default_factory=dict)
+    pde: Optional[ImplicitPDE] = None
+
+
+@dataclass
+class _Output:
+    fn: Callable  # fn(vals: dict) -> scalar  OR an energy FemForm
+    arguments: list
+    form: Optional[FemForm] = None
+
+
+class FEA:
+    """Registry of inputs / states / outputs over one mesh.
+
+    Attributes mirroring the reference config surface (fea_dolfinx.py:37-48):
+    PDE_SOLVER ('Newton'|'SNES' — both map to the same Newton core here),
+    REPORT, record, linear_problem.
+    """
+
+    def __init__(self, mesh):
+        self.mesh = mesh
+        self.inputs: dict[str, _Input] = {}
+        self.states: dict[str, _State] = {}
+        self.outputs: dict[str, _Output] = {}
+        self.field_outputs: dict[str, _Output] = {}
+        self.bcs: list[DirichletBC] = []
+        # config parity
+        self.PDE_SOLVER = "Newton"
+        self.REPORT = False
+        self.record = False
+        self.linear_problem = True
+        self.custom_solve = None  # hook parity (fea_dolfinx.py:41-44,166-170)
+        self.opt_iter = 0
+        self.recorder = None
+
+    # ------------------------------------------------------------ registry
+    def add_input(self, name, space, init_val=None, record=False):
+        self.inputs[name] = _Input(space, init_val, record)
+
+    def add_state(
+        self,
+        name,
+        residual_form: FemForm,
+        arguments,
+        extra_residual=None,
+        newton_iters=None,
+        solver_opts=None,
+    ):
+        """residual_form: FemForm (kind='residual' or 'energy') over the
+        state space; arguments: input names the residual reads (parity with
+        fea_dolfinx.py:71-95 — here only used for bookkeeping; JAX tracks
+        actual dataflow)."""
+        ni = newton_iters if newton_iters is not None else (
+            1 if self.linear_problem else 3
+        )
+        self.states[name] = _State(
+            residual_form,
+            list(arguments),
+            extra_residual,
+            ni,
+            dict(solver_opts or {}),
+        )
+        self._build_pde(name)
+
+    def add_output(self, name, form=None, arguments=(), fn=None):
+        """Scalar output: either an energy-kind FemForm whose first argument
+        is the field it integrates (state or input), or fn(vals)->scalar."""
+        assert (form is None) != (fn is None)
+        self.outputs[name] = _Output(fn, list(arguments), form)
+
+    def add_field_output(self, name, fn, arguments=(), record=False):
+        """Field output: fn(vals)->array (e.g. an L2 projection;
+        parity with add_field_output fea_dolfinx.py:118-136)."""
+        self.field_outputs[name] = _Output(fn, list(arguments))
+
+    def add_strong_bc(self, dofs, values=0.0):
+        """Parity with add_strong_bc (fea_dolfinx.py:147-157)."""
+        self.bcs.append(DirichletBC(dofs, values))
+        # rebuild eagerly: PDE objects must never be constructed inside a JAX
+        # trace (their BC masks would leak as tracers into later traces)
+        for name in self.states:
+            self._build_pde(name)
+
+    # ------------------------------------------------------------ solving
+    def _build_pde(self, name):
+        st = self.states[name]
+        free, bcv = combine_bcs(st.form.space.n_dofs, self.bcs)
+        opts = {"method": "cg", "tol": 1e-12}
+        opts.update(st.solver_opts)
+        st.pde = ImplicitPDE(
+            st.form,
+            free,
+            bcv,
+            newton_iters=st.newton_iters,
+            solver_opts=opts,
+            extra_residual=st.extra_residual,
+        )
+
+    def _get_pde(self, name) -> ImplicitPDE:
+        return self.states[name].pde
+
+    def solve(self, name, params, u0=None):
+        """Differentiable solve of one state. params: dict of input arrays
+        (keys = the state's `arguments`). Parity with FEA.solve
+        (fea_dolfinx.py:159-170)."""
+        if self.custom_solve is not None:
+            return self.custom_solve(self, name, params, u0)
+        return self._get_pde(name).solve(params, u0=u0)
+
+    def evaluate_output(self, name, vals):
+        """vals: dict of state+input arrays. Returns scalar (device)."""
+        out = self.outputs[name]
+        if out.form is not None:
+            u_name = out.arguments[0]
+            params = {k: vals[k] for k in out.arguments[1:]}
+            return assemble_scalar(out.form, vals[u_name], params)
+        return out.fn(vals)
+
+    def evaluate_field_output(self, name, vals):
+        return self.field_outputs[name].fn(vals)

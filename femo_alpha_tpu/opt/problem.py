@@ -1,0 +1,160 @@
+"""Gradient-based optimization driver.
+
+Replaces the reference's ModOpt + CSDLAlphaProblem + PySimulator pipeline
+(SURVEY.md layer 4; ex_thickness_opt_cantilever_beam.py:216-231) with a
+scipy SLSQP loop whose objective/constraint gradients are exact adjoints
+from jax.grad through the FEAModel evaluate (every gradient evaluation is
+one forward solve + one transposed solve, as in the reference's
+apply_inverse_jacobian 'rev' path).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from scipy.optimize import minimize
+
+from ..utils.logging import log
+
+
+class OptimizationProblem:
+    """evaluate: dict(design arrays) -> dict-like with scalar outputs."""
+
+    def __init__(self, evaluate, jit=True):
+        self._evaluate = evaluate
+        self.jit = jit
+        self.dvs: dict[str, dict] = {}
+        self.objective = None
+        self.obj_scaler = 1.0
+        self.constraints: list[dict] = []
+        self.result = None
+
+    def add_design_variable(self, name, init, lower=None, upper=None):
+        init = np.atleast_1d(np.asarray(init, dtype=np.float64))
+        self.dvs[name] = dict(init=init, lower=lower, upper=upper,
+                              size=init.size, shape=init.shape)
+
+    def set_objective(self, name, scaler=1.0):
+        self.objective = name
+        self.obj_scaler = scaler
+
+    def add_constraint(self, name, lower=None, upper=None, equals=None):
+        self.constraints.append(
+            dict(name=name, lower=lower, upper=upper, equals=equals)
+        )
+
+    # ------------------------------------------------------------ plumbing
+    def _pack(self, dv_dict):
+        return np.concatenate(
+            [np.asarray(dv_dict[k]).ravel() for k in self.dvs]
+        )
+
+    def _unpack(self, x):
+        out, o = {}, 0
+        for k, spec in self.dvs.items():
+            out[k] = jnp.asarray(x[o: o + spec["size"]]).reshape(spec["shape"])
+            o += spec["size"]
+        return out
+
+    def _output(self, outs, name):
+        if hasattr(outs, "to_dict"):
+            outs = outs.to_dict()
+        return outs[name]
+
+    def _scalar_fn(self, name, scaler=1.0):
+        def f(x_jnp):
+            dvs = self._unpack(x_jnp)
+            outs = self._evaluate(dvs)
+            return jnp.reshape(self._output(outs, name), ()) * scaler
+
+        vg = jax.value_and_grad(f)
+        if self.jit:
+            vg = jax.jit(vg)
+        return vg
+
+    # ------------------------------------------------------------- solve
+    def solve(self, maxiter=1000, ftol=1e-9, callback=None, report=True):
+        assert self.objective is not None, "set_objective first"
+        x0 = self._pack({k: v["init"] for k, v in self.dvs.items()})
+
+        obj_vg = self._scalar_fn(self.objective, self.obj_scaler)
+
+        def obj(x):
+            v, g = obj_vg(jnp.asarray(x))
+            return float(v), np.asarray(g, dtype=np.float64)
+
+        cons = []
+        for c in self.constraints:
+            vg = self._scalar_fn(c["name"])
+
+            def make(vg, shift, sign):
+                def fun(x):
+                    v, _ = vg(jnp.asarray(x))
+                    return sign * (float(v) - shift)
+
+                def jac(x):
+                    _, g = vg(jnp.asarray(x))
+                    return sign * np.asarray(g, dtype=np.float64)
+
+                return fun, jac
+
+            if c["equals"] is not None:
+                fun, jac = make(vg, float(c["equals"]), 1.0)
+                cons.append(dict(type="eq", fun=fun, jac=jac))
+            else:
+                if c["lower"] is not None:
+                    fun, jac = make(vg, float(c["lower"]), 1.0)
+                    cons.append(dict(type="ineq", fun=fun, jac=jac))
+                if c["upper"] is not None:
+                    fun, jac = make(vg, float(c["upper"]), -1.0)
+                    cons.append(dict(type="ineq", fun=fun, jac=jac))
+
+        bounds = None
+        lo_up = []
+        for k, spec in self.dvs.items():
+            lo = spec["lower"]
+            up = spec["upper"]
+            lo_up += [(lo, up)] * spec["size"]
+        if any(l is not None or u is not None for l, u in lo_up):
+            bounds = lo_up
+
+        res = minimize(
+            obj,
+            x0,
+            jac=True,
+            method="SLSQP",
+            bounds=bounds,
+            constraints=cons,
+            options={"maxiter": maxiter, "ftol": ftol},
+            callback=callback,
+        )
+        self.result = res
+        if report:
+            log(
+                f"SLSQP: {res.message} | f*={res.fun:.10g} | nit={res.nit} "
+                f"| nfev={res.nfev} | njev={res.njev}"
+            )
+        return self._unpack(res.x), res
+
+
+class SLSQP:
+    """Thin name-parity shim for the reference's `SLSQP(prob, ...)` driver
+    (modopt; ex_thickness_opt_cantilever_beam.py:216-231)."""
+
+    def __init__(self, problem: OptimizationProblem, solver_options=None):
+        self.problem = problem
+        self.options = dict(solver_options or {})
+
+    def solve(self):
+        maxiter = self.options.get("maxiter", 1000)
+        ftol = self.options.get("ftol", 1e-9)
+        return self.problem.solve(maxiter=maxiter, ftol=ftol)
+
+    def print_results(self):
+        res = self.problem.result
+        if res is not None:
+            log(
+                f"objective={res.fun:.12g} iterations={res.nit} "
+                f"success={res.success}"
+            )

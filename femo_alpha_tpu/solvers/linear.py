@@ -11,6 +11,7 @@ a cached LU (dense path) or the self-transpose constrained CG operator
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..assembly.assemble import make_matvec
@@ -39,6 +40,7 @@ class LinearSolver:
         tol=1e-12,
         maxiter=None,
         symmetric=True,
+        extra_matvec=None,
     ):
         self.n = n_dofs
         self.method = method
@@ -48,16 +50,29 @@ class LinearSolver:
         self.free_mask = (
             jnp.ones(n_dofs, dtype=Ae.dtype) if free_mask is None else free_mask
         )
-        self.raw_matvec = make_matvec(Ae, dofmap_d, n_dofs)
-        self.rawT_matvec = make_matvec(
-            jnp.swapaxes(Ae, 1, 2), dofmap_d, n_dofs
-        )
+        base_mv = make_matvec(Ae, dofmap_d, n_dofs)
+        baseT_mv = make_matvec(jnp.swapaxes(Ae, 1, 2), dofmap_d, n_dofs)
+        if extra_matvec is not None:
+            # linearized non-cell terms (point loads contribute zero; penalty
+            # facet terms contribute their Jacobian). Transpose via
+            # jax.linear_transpose for adjoint solves.
+            extra_T = jax.linear_transpose(
+                extra_matvec, jnp.zeros(n_dofs, dtype=Ae.dtype)
+            )
+            self.raw_matvec = lambda x: base_mv(x) + extra_matvec(x)
+            self.rawT_matvec = lambda x: baseT_mv(x) + extra_T(x)[0]
+        else:
+            self.raw_matvec = base_mv
+            self.rawT_matvec = baseT_mv
         self.matvec = constrain_matvec(self.raw_matvec, self.free_mask)
         self.matvecT = constrain_matvec(self.rawT_matvec, self.free_mask)
         if method == "dense":
-            A = apply_bc_dense(
-                dense_from_elements(Ae, dofmap_d, n_dofs), self.free_mask
-            )
+            A = dense_from_elements(Ae, dofmap_d, n_dofs)
+            if extra_matvec is not None:
+                A = A + jax.vmap(extra_matvec, in_axes=1, out_axes=1)(
+                    jnp.eye(n_dofs, dtype=Ae.dtype)
+                )
+            A = apply_bc_dense(A, self.free_mask)
             self._dense = DenseSolver(A)
             self.M = None
         else:
