@@ -9,81 +9,85 @@ set_up_fea_derivatives): `jax.custom_vjp` supplies the same mathematics —
 — but the partials come from `jax.vjp`/`jax.jvp` through the assembled
 residual, so no per-input derivative forms are ever written by hand.
 
-BC treatment: the residual must be "constrained" (BC rows = u - u_bc). The
+BC treatment: the residual is "constrained" (BC rows = u - u_bc). The
 linearized solve uses the symmetrically masked operator
-B = f·A·f + (1-f)·I, which is self-adjoint-compatible: solving B^T lam = f·g
-yields lam with zero entries at BC dofs — exactly the reference's
-post-adjoint zeroing (state_operation.py:217-218).
+B = f·A·f + (1-f)·I; solving B^T lam = f·g yields lam with zero entries at
+BC dofs — exactly the reference's post-adjoint zeroing
+(state_operation.py:217-218).
 """
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 
-from ..assembly.assemble import assemble_residual, element_matrices
+from ..assembly.assemble import (
+    FemForm,
+    assemble_residual,
+    element_matrices,
+)
 from ..assembly.bc import constrain_residual
 from ..solvers.linear import LinearSolver
 
 
 class ImplicitPDE:
-    """Bundles a FemForm-based residual with BC data and a linear solver
-    choice; exposes `solve(params)` that is end-to-end differentiable and
-    jit-compatible (fixed Newton iteration count, while-loop Krylov inner).
+    """Bundles a residual (cell form + optional facet forms + optional extra
+    terms) with BC data and a linear solver choice; exposes `solve(params)`
+    that is end-to-end differentiable and jit-compatible (fixed Newton
+    iteration count, while-loop Krylov inner).
 
-    form: FemForm over the state space (kernel = raw residual or energy).
-    free_mask/bc_vals: from combine_bcs. solver_opts: passed to LinearSolver.
-    newton_iters: static iteration count (1 for linear problems — parity with
-    the reference's linear_problem fast path, state_operation.py:130; the
-    reference's own NewtonSolver uses max_it=3, utils_dolfinx.py:449).
+    form: FemForm over the state space. facet_forms: list of FacetForm
+    (e.g. penalty BC boundary integrals — their Jacobians enter the operator
+    AND the preconditioner). extra_residual(u, params): non-form terms such
+    as point loads. newton_iters: static count (1 for linear problems —
+    parity with the reference's linear_problem fast path,
+    state_operation.py:130; its NewtonSolver uses max_it=3,
+    utils_dolfinx.py:449).
     """
 
     def __init__(
         self,
-        form,
+        form: FemForm,
         free_mask=None,
         bc_vals=None,
         newton_iters=1,
         solver_opts=None,
         extra_residual=None,
+        facet_forms=(),
     ):
         self.form = form
         n = form.space.n_dofs
         self.n_dofs = n
-        self.free_mask = (
-            jnp.ones(n) if free_mask is None else free_mask
-        )
+        self.free_mask = jnp.ones(n) if free_mask is None else free_mask
         self.bc_vals = jnp.zeros(n) if bc_vals is None else bc_vals
         self.newton_iters = newton_iters
         self.solver_opts = dict(solver_opts or {})
-        # extra_residual(u, params) -> (n_dofs,): non-cell terms — point
-        # loads, facet/boundary integrals (the reference's ds/dS measures,
-        # e.g. the beam tip load ex_thickness_opt_cantilever_beam.py:61-63)
         self.extra_residual = extra_residual
+        self.facet_forms = list(facet_forms)
         self._solve = _build_custom_vjp_solve(self)
 
     # -------------------------------------------------- raw pieces
     def residual(self, u, params):
         """Constrained residual: BC rows replaced by (u - u_bc)."""
         r = assemble_residual(self.form, u, params)
+        for ff in self.facet_forms:
+            r = r + ff.assemble_residual(u, params)
         if self.extra_residual is not None:
             r = r + self.extra_residual(u, params)
         return constrain_residual(r, u, self.free_mask, self.bc_vals)
 
     def make_solver(self, u, params) -> LinearSolver:
-        Ae = element_matrices(self.form, u, params)
+        ops = [(element_matrices(self.form, u, params), self.form.space.dofmap_d)]
+        for ff in self.facet_forms:
+            ops.extend(ff.element_ops(u, params))
         if self.extra_residual is not None:
-            # linearize the extra term; for load vectors (u-independent) this
-            # contributes nothing, for penalty-BC terms it adds their Jacobian
-            _, lin = jax.linearize(lambda v: self.extra_residual(v, params), u)
-            extra_lin = lin
+            _, extra_lin = jax.linearize(
+                lambda v: self.extra_residual(v, params), u
+            )
         else:
             extra_lin = None
         return LinearSolver(
-            Ae,
-            self.form.space.dofmap_d,
+            ops,
             self.n_dofs,
             free_mask=self.free_mask,
             extra_matvec=extra_lin,

@@ -5,8 +5,12 @@ solves for adjoints built in.
 This is the KSP/MUMPS façade replacement: the reference builds a MUMPS KSP
 once per Jacobian and reuses it for forward and transposed solves
 (state_operation.py:292-296, fea_dolfinx.py:173-203); here the analogues are
-a cached LU (dense path) or the self-transpose constrained CG operator
+a cached LU (dense path) or the self-transpose constrained operator
 (iterative path).
+
+The operator is a SUM of element-matrix blocks: cell integrals plus facet
+integrals (penalty BCs) each contribute one (Ae, dofmap) pair — all enter
+the matvec, the dense matrix, and the Jacobi preconditioner.
 """
 
 from __future__ import annotations
@@ -14,25 +18,33 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..assembly.assemble import make_matvec
+from ..assembly.assemble import make_matvec, scatter_add
 from ..assembly.bc import constrain_matvec, lift_rhs
 from .direct import DenseSolver, apply_bc_dense, dense_from_elements
 from .krylov import cg_solve, gmres_solve
-from .precond import jacobi_preconditioner
+
+
+def _sum_matvec(fns):
+    def mv(x):
+        y = fns[0](x)
+        for f in fns[1:]:
+            y = y + f(x)
+        return y
+
+    return mv
 
 
 class LinearSolver:
     """Solve A x = b with strong-BC masking.
 
-    Ae/dofmap define the raw (unconstrained) operator; free_mask/bc_vals the
-    Dirichlet data. method: 'dense' | 'cg' | 'gmres'. pc: 'jacobi' | None
-    (iterative methods only).
-    """
+    ops: list of (Ae (nc, nd, nd), dofmap_d (nc, nd)) element-matrix blocks;
+    their sum is the raw operator. method: 'dense' | 'cg' | 'gmres'.
+    pc: 'jacobi' | None. extra_matvec: optional additional linear operator
+    (matrix-free; excluded from the preconditioner)."""
 
     def __init__(
         self,
-        Ae,
-        dofmap_d,
+        ops,
         n_dofs,
         free_mask=None,
         method="cg",
@@ -42,48 +54,56 @@ class LinearSolver:
         symmetric=True,
         extra_matvec=None,
     ):
+        if not isinstance(ops, (list, tuple)):
+            raise TypeError("ops must be a list of (Ae, dofmap) pairs")
+        self.ops = ops
         self.n = n_dofs
         self.method = method
         self.symmetric = symmetric
         self.tol = tol
         self.maxiter = maxiter or max(200, 4 * int(n_dofs**0.5) + 100)
+        dtype = ops[0][0].dtype
         self.free_mask = (
-            jnp.ones(n_dofs, dtype=Ae.dtype) if free_mask is None else free_mask
+            jnp.ones(n_dofs, dtype=dtype) if free_mask is None else free_mask
         )
-        base_mv = make_matvec(Ae, dofmap_d, n_dofs)
-        baseT_mv = make_matvec(jnp.swapaxes(Ae, 1, 2), dofmap_d, n_dofs)
+        mvs = [make_matvec(Ae, dm, n_dofs) for Ae, dm in ops]
+        mvTs = [
+            make_matvec(jnp.swapaxes(Ae, 1, 2), dm, n_dofs) for Ae, dm in ops
+        ]
         if extra_matvec is not None:
-            # linearized non-cell terms (point loads contribute zero; penalty
-            # facet terms contribute their Jacobian). Transpose via
-            # jax.linear_transpose for adjoint solves.
             extra_T = jax.linear_transpose(
-                extra_matvec, jnp.zeros(n_dofs, dtype=Ae.dtype)
+                extra_matvec, jnp.zeros(n_dofs, dtype=dtype)
             )
-            self.raw_matvec = lambda x: base_mv(x) + extra_matvec(x)
-            self.rawT_matvec = lambda x: baseT_mv(x) + extra_T(x)[0]
-        else:
-            self.raw_matvec = base_mv
-            self.rawT_matvec = baseT_mv
+            mvs = mvs + [extra_matvec]
+            mvTs = mvTs + [lambda x: extra_T(x)[0]]
+        self.raw_matvec = _sum_matvec(mvs)
+        self.rawT_matvec = _sum_matvec(mvTs)
         self.matvec = constrain_matvec(self.raw_matvec, self.free_mask)
         self.matvecT = constrain_matvec(self.rawT_matvec, self.free_mask)
         if method == "dense":
-            A = dense_from_elements(Ae, dofmap_d, n_dofs)
+            A = dense_from_elements(ops[0][0], ops[0][1], n_dofs)
+            for Ae, dm in ops[1:]:
+                A = A + dense_from_elements(Ae, dm, n_dofs)
             if extra_matvec is not None:
                 A = A + jax.vmap(extra_matvec, in_axes=1, out_axes=1)(
-                    jnp.eye(n_dofs, dtype=Ae.dtype)
+                    jnp.eye(n_dofs, dtype=dtype)
                 )
             A = apply_bc_dense(A, self.free_mask)
             self._dense = DenseSolver(A)
             self.M = None
         else:
             self._dense = None
-            if pc == "jacobi":
-                self.M = jacobi_preconditioner(
-                    Ae, dofmap_d, n_dofs, self.free_mask
-                )
-            else:
-                self.M = None
+            self.M = self._build_jacobi() if pc == "jacobi" else None
         self.last_info = None
+
+    def _build_jacobi(self):
+        diag = jnp.zeros(self.n, dtype=self.ops[0][0].dtype)
+        for Ae, dm in self.ops:
+            dc = jnp.diagonal(Ae, axis1=1, axis2=2)
+            diag = diag + scatter_add(dm, dc, self.n)
+        diag = self.free_mask * diag + (1.0 - self.free_mask)
+        inv = jnp.where(diag != 0.0, 1.0 / diag, 1.0)
+        return lambda v: inv * v
 
     def lift(self, b, bc_vals):
         """Apply BC lifting to a RHS (set BC entries to their values)."""

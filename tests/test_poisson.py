@@ -49,7 +49,7 @@ def _solve_poisson(n, cell_type, family="P", degree=1, method="cg"):
     r = assemble_residual(form, u0, {"f": f})
     Ae = element_matrices(form, u0, {"f": f})
     solver = LinearSolver(
-        Ae, V.dofmap_d, V.n_dofs, free_mask=free, method=method, tol=1e-12
+        [(Ae, V.dofmap_d)], V.n_dofs, free_mask=free, method=method, tol=1e-12
     )
     b = solver.lift(-r, bcv)
     u = solver.solve(b)
