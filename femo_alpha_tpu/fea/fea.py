@@ -36,6 +36,7 @@ class _State:
     extra_residual: Optional[Callable] = None
     newton_iters: int = 1
     solver_opts: dict = field(default_factory=dict)
+    facet_forms: tuple = ()
     pde: Optional[ImplicitPDE] = None
 
 
@@ -82,6 +83,7 @@ class FEA:
         extra_residual=None,
         newton_iters=None,
         solver_opts=None,
+        facet_forms=(),
     ):
         """residual_form: FemForm (kind='residual' or 'energy') over the
         state space; arguments: input names the residual reads (parity with
@@ -96,6 +98,7 @@ class FEA:
             extra_residual,
             ni,
             dict(solver_opts or {}),
+            tuple(facet_forms),
         )
         self._build_pde(name)
 
@@ -131,6 +134,7 @@ class FEA:
             newton_iters=st.newton_iters,
             solver_opts=opts,
             extra_residual=st.extra_residual,
+            facet_forms=st.facet_forms,
         )
 
     def _get_pde(self, name) -> ImplicitPDE:

@@ -1,3 +1,4 @@
 from .beam import EulerBernoulliBeamModel
+from .rm_shell import RMShellModel, RMShellPDE
 
-__all__ = ["EulerBernoulliBeamModel"]
+__all__ = ["EulerBernoulliBeamModel", "RMShellModel", "RMShellPDE"]

@@ -1,0 +1,277 @@
+"""RMShellModel: one-call Reissner-Mindlin shell solver for aircraft
+optimization — API parity with rm_shell/rm_shell_model.py:14-544
+(`RMShellModel(mesh, shell_bc_func, ...).evaluate(force_vector, thickness,
+E, nu, density, node_disp, is_pressure) -> VariableGroup` with outputs
+disp_solid, disp_extracted, compliance, mass, elastic_energy, pnorm_stress,
+aggregated_stress, stress, per-tag pnorm_stress_<tag>, F_solid).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ...fea import FEA, FEAModel
+from ...spaces import locate_dofs_geometric
+from ...utils.logging import log
+from .pde import RMShellPDE
+
+
+class AggregatedStressModel:
+    """aggregated = (1/m) * pnorm^(1/rho) (rm_shell_model.py:493-503)."""
+
+    def __init__(self, m: float, rho: int):
+        self.m, self.rho = m, rho
+
+    def evaluate(self, pnorm_stress):
+        return 1.0 / self.m * pnorm_stress ** (1.0 / self.rho)
+
+
+class DisplacementExtractionModel:
+    """CG2 mixed solution -> (n_nodes, 3) nodal displacement matrix in the
+    caller's node ordering (rm_shell_model.py:505-527)."""
+
+    def __init__(self, shell_pde: RMShellPDE):
+        self.shell_pde = shell_pde
+
+    def evaluate(self, disp_vec):
+        mat = self.shell_pde.extract_nodal_disp(disp_vec)
+        igi = self.shell_pde.mesh.input_global_indices
+        if igi is not None:
+            rev = np.argsort(np.asarray(igi))
+            mat = mat[jnp.asarray(rev)]
+        return mat
+
+
+class ForceReshapingModel:
+    """(n_nodes, 3) nodal force matrix -> interleaved VF dof vector in FE
+    ordering (rm_shell_model.py:529-544)."""
+
+    def __init__(self, shell_pde: RMShellPDE):
+        self.shell_pde = shell_pde
+
+    def evaluate(self, nodal_force_mat):
+        igi = self.shell_pde.mesh.input_global_indices
+        mat = jnp.asarray(nodal_force_mat)
+        if igi is not None:
+            mat = mat[jnp.asarray(np.asarray(igi))]
+        return mat.reshape(-1)
+
+
+class RMShellModel:
+    def __init__(
+        self,
+        mesh,
+        shell_bc_func=None,
+        element_wise_material=False,
+        rho=100,
+        PENALTY_BC=True,
+        additional_outputs=None,
+        mesh_tags=None,
+        record=False,
+        elementwise_pressure=False,
+        element_type="CG2CG1",
+        solver_opts=None,
+        inplane_deg=4,
+        shear_deg=4,
+    ):
+        if shell_bc_func is None:
+            raise ValueError(
+                "Please provide the shell bc location function.\n"
+                "Example: def ClampedBoundary(x): return x[:, 1] < 0.0"
+            )
+        self.mesh = mesh
+        self.mesh_tags = mesh_tags
+        self.shell_bc_func = shell_bc_func
+        self.element_wise_material = element_wise_material
+        self.record = record
+        self.m, self.rho = 1e-6, rho
+        self.PENALTY_BC = PENALTY_BC
+        self.nel = mesh.n_cells
+        self.nn = mesh.n_nodes
+        self.elementwise_pressure = elementwise_pressure
+        self.solver_opts = solver_opts
+        self.element_type = element_type
+        self.inplane_deg = inplane_deg
+        self.shear_deg = shear_deg
+        self.association_table = {}
+        if mesh_tags is not None:
+            self.set_up_subdomains(mesh_tags)
+        self.set_up_fea()
+
+    # ----------------------------------------------------------- subdomains
+    def set_up_subdomains(self, mesh_tags):
+        """mesh_tags: {tag: [cell indices]} in the CALLER's cell ordering;
+        converted to per-cell masks (rm_shell_model.py:101-133)."""
+        oci = self.mesh.original_cell_index
+        ext2fe = (
+            np.argsort(np.asarray(oci)) if oci is not None
+            else np.arange(self.nel)
+        )
+        self.subdomain_masks = {}
+        for i, (tag, inds) in enumerate(mesh_tags.items()):
+            mask = np.zeros(self.nel)
+            mask[ext2fe[np.asarray(inds, dtype=np.int64)]] = 1.0
+            self.subdomain_masks[tag] = mask
+            self.association_table[tag] = i
+
+    # ------------------------------------------------------------- FEA setup
+    def set_up_fea(self):
+        log("Setting up the FEA model for RM shell analysis (TPU) ...")
+        mesh = self.mesh
+        pde = self.shell_pde = RMShellPDE(
+            mesh,
+            element_wise_material=self.element_wise_material,
+            elementwise_pressure=self.elementwise_pressure,
+            element_type=self.element_type,
+            inplane_deg=self.inplane_deg,
+            shear_deg=self.shear_deg,
+        )
+        fea = FEA(mesh)
+        fea.linear_problem = True
+
+        residual_form = pde.make_residual_form()
+        facet_forms = []
+        if self.PENALTY_BC:
+            facet_forms.append(pde.make_penalty_facet_form(self.shell_bc_func))
+
+        n = pde.W.n_dofs
+        opts = self.solver_opts
+        if opts is None:
+            opts = (
+                {"method": "dense"}
+                if n <= 6000
+                else {"method": "cg", "tol": 1e-11, "maxiter": 20 * int(n**0.5)}
+            )
+
+        for name in ["thickness", "F_solid", "E", "nu", "density", "uhat"]:
+            space = {
+                "thickness": pde.VT, "E": pde.VT, "nu": pde.VT,
+                "density": pde.VT, "F_solid": pde.VF, "uhat": pde.VU,
+            }[name]
+            fea.add_input(name, space)
+
+        fea.add_state(
+            "disp_solid",
+            residual_form,
+            arguments=["thickness", "F_solid", "E", "nu", "uhat"],
+            facet_forms=facet_forms,
+            solver_opts=opts,
+        )
+        if not self.PENALTY_BC:
+            d1 = locate_dofs_geometric(pde.V_disp, self.shell_bc_func)
+            d2 = locate_dofs_geometric(pde.V_rot, self.shell_bc_func)
+            dofs = np.concatenate([d1, d2 + pde.V_disp.n_dofs])
+            fea.add_strong_bc(dofs, 0.0)
+
+        fea.add_output(
+            "compliance", form=pde.compliance_form(),
+            arguments=["disp_solid", "thickness", "uhat"],
+        )
+        fea.add_output(
+            "mass", form=pde.mass_form(),
+            arguments=["thickness", "density", "uhat"],
+        )
+        fea.add_output(
+            "volume", form=pde.volume_form(),
+            arguments=["thickness", "uhat"],
+        )
+        fea.add_output(
+            "elastic_energy", form=pde.elastic_energy_form(),
+            arguments=["disp_solid", "thickness", "E", "nu", "uhat"],
+        )
+        fea.add_output(
+            "pnorm_stress",
+            form=pde.pnorm_stress_form(m=self.m, rho=self.rho),
+            arguments=["disp_solid", "thickness", "E", "nu", "uhat"],
+        )
+        for tag, mask in getattr(self, "subdomain_masks", {}).items():
+            form = pde.pnorm_stress_form(m=self.m, rho=self.rho,
+                                         cell_mask=mask)
+
+            def make_fn(form=form, mask=mask):
+                def fn(vals):
+                    from ...assembly.assemble import assemble_scalar
+
+                    params = {
+                        k: vals[k]
+                        for k in ["thickness", "E", "nu", "uhat"]
+                    }
+                    params["_mask"] = jnp.asarray(mask)
+                    return assemble_scalar(form, vals["disp_solid"], params)
+
+                return fn
+
+            fea.add_output(f"pnorm_stress_{tag}", fn=make_fn())
+
+        project_vm, V_dg1 = pde.von_mises_dg1_projection()
+
+        def stress_fn(vals):
+            params = {k: vals[k] for k in ["thickness", "E", "nu", "uhat"]}
+            return project_vm(vals["disp_solid"], params)
+
+        fea.add_field_output("stress", stress_fn)
+        self.fea = fea
+        self.model = FEAModel(fea=[fea])
+
+    # --------------------------------------------------------------- evaluate
+    def evaluate(
+        self,
+        force_vector,
+        thickness,
+        E,
+        nu,
+        density,
+        node_disp=None,
+        debug_mode=False,
+        is_pressure=True,
+    ):
+        """Inputs in the CALLER's node/cell ordering; reordered to FE order
+        via the interop maps (rm_shell_model.py:398-412). Returns a
+        VariableGroup of device arrays; differentiable end-to-end."""
+        pde = self.shell_pde
+        igi = self.mesh.input_global_indices
+        oci = self.mesh.original_cell_index
+        mat_idx = (
+            np.asarray(oci)
+            if self.element_wise_material and oci is not None
+            else (np.asarray(igi) if igi is not None else None)
+        )
+
+        def reorder(v, idx):
+            v = jnp.asarray(v)
+            return v if idx is None else v[jnp.asarray(idx)]
+
+        inputs = {}
+        inputs["thickness"] = reorder(thickness, mat_idx).reshape(-1)
+        inputs["E"] = reorder(E, mat_idx).reshape(-1)
+        inputs["nu"] = reorder(nu, mat_idx).reshape(-1)
+        inputs["density"] = reorder(density, mat_idx).reshape(-1)
+
+        f_idx = (
+            np.asarray(oci)
+            if self.elementwise_pressure and oci is not None
+            else (np.asarray(igi) if igi is not None else None)
+        )
+        F = reorder(jnp.asarray(force_vector), f_idx).reshape(-1)
+        if not is_pressure:
+            log("Converting forces to pressures ...")
+            solve_p = pde.make_force_to_pressure_solver()
+            F = solve_p(F)
+        inputs["F_solid"] = F
+
+        if node_disp is None:
+            node_disp = jnp.zeros((self.nn, 3))
+        inputs["uhat"] = reorder(jnp.asarray(node_disp),
+                                 np.asarray(igi) if igi is not None else None
+                                 ).reshape(-1)
+
+        log("Evaluating the RM shell model ...")
+        out = self.model.evaluate(inputs)
+
+        out.disp_extracted = DisplacementExtractionModel(pde).evaluate(
+            out.disp_solid)
+        out.aggregated_stress = AggregatedStressModel(
+            self.m, self.rho).evaluate(out.pnorm_stress)
+        log("RM shell model evaluation completed.")
+        return out
