@@ -386,6 +386,56 @@ class RMShellPDE:
         specs.pop("F_solid")
         return FemForm(self.W, kern, kind="energy", param_specs=specs)
 
+    def inertia_form(self, rho_is_param=True):
+        """Shell inertia as an energy: 0.5 rho h (|u|^2 + h_mesh^2 |theta|^2)
+        — its Hessian is the mass operator of inertialResidual
+        (linear_shell_model.py:335-348; rotational inertia scaled by the
+        mesh-size-squared stabilization, following the reference)."""
+        R = self._rules["inplane"]
+        tab_d, tab_r, tab_t = R["d"], R["r"], R["t"]
+        interp_t = _interp_factory(self.VT, tab_t.phi)
+
+        def kern(u_cell, x_cell, p):
+            ud, th = self._split(u_cell)
+            geo = surface_geometry(x_cell, tab_d.geom_dphi)
+            u_q = jnp.asarray(tab_d.phi) @ ud
+            th_q = jnp.asarray(tab_r.phi) @ th
+            hq = interp_t(p["thickness"])
+            rhoq = interp_t(p["density"]) if rho_is_param else p["rho"]
+            hm = cell_diameter(x_cell)
+            dens = rhoq * hq * (
+                jnp.sum(u_q**2, axis=1) + hm**2 * jnp.sum(th_q**2, axis=1)
+            )
+            return jnp.sum(0.5 * dens * R["w"] * geo["dA"])
+
+        specs = {"thickness": self.VT}
+        if rho_is_param:
+            specs["density"] = self.VT
+        else:
+            specs["rho"] = None
+        return FemForm(self.W, kern, kind="energy", param_specs=specs)
+
+    def self_weight_load(self, g_z):
+        """Consistent self-weight load vector energy: -∫ rho t g u_z dx
+        (plate_sim.py:203-213). Returns an energy FemForm; its residual is
+        the (negative) load vector."""
+        R = self._rules["inplane"]
+        tab_d, tab_t = R["d"], R["t"]
+        interp_t = _interp_factory(self.VT, tab_t.phi)
+
+        def kern(u_cell, x_cell, p):
+            ud, _ = self._split(u_cell)
+            geo = surface_geometry(x_cell, tab_d.geom_dphi)
+            u_q = jnp.asarray(tab_d.phi) @ ud
+            hq = interp_t(p["thickness"])
+            rhoq = interp_t(p["density"])
+            return -jnp.sum(
+                rhoq * hq * g_z * u_q[:, 2] * R["w"] * geo["dA"])
+
+        return FemForm(self.W, kern, kind="energy",
+                       param_specs={"thickness": self.VT,
+                                    "density": self.VT})
+
     # --------------------------------------------------------- stress
     def _vm_stress_at_q(self, pt, xi2):
         """Plane-stress von Mises at through-thickness coordinate xi2

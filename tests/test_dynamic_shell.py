@@ -1,0 +1,113 @@
+"""Transient RM shell tests (dynamic_rm_shell parity, SURVEY.md §3.3):
+implicit-midpoint stepping, dynamic overshoot physics, transient adjoint vs
+FD (the reference's check_totals on the dynamic StateOperation,
+state_operation_dynamic.py:708-817), operation-layer API."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from femo_alpha_tpu.mesh import createRectangleMesh
+from femo_alpha_tpu.models.dynamic_rm_shell import (
+    PlateSim,
+    StateOperation,
+    TotalStrainEnergyOperation,
+    VolumeOperation,
+)
+from femo_alpha_tpu.adjoint import check_totals
+
+E_VAL, NU, RHO, H = 4.32e8, 0.0, 10.0, 0.2
+EB_TIP = 2.0 * 2.0 * 10**4 / (8 * E_VAL * (2 * H**3 / 12))
+
+
+@pytest.fixture(scope="module")
+def sim():
+    mesh = createRectangleMesh(10, 2, (0, 0), (10, 2), "quad", gdim=3)
+    s = PlateSim(mesh, E_VAL, NU, RHO, dt=0.01, Nsteps=20,
+                 element_wise_thickness=True, quad_deg=4)
+    nn = mesh.n_nodes
+    f = np.zeros((nn, 3))
+    f[:, 2] = 2.0
+    s.update_f_history(np.tile(f.reshape(1, -1), (21, 1)))
+    s.update_t(np.full(mesh.n_cells, H))
+    return s
+
+
+def test_step_load_dynamic_overshoot(sim):
+    w_out = sim.solve_dynamic_problem()
+    assert w_out.shape == (sim.fe_dofs, sim.time_levels)
+    tip = sim.tip_disp_history
+    # starts at rest, ramps smoothly, overshoots the static solution by
+    # roughly 2x (undamped step response)
+    assert tip[0] == 0.0
+    assert np.all(np.isfinite(w_out))
+    assert 1.4 * EB_TIP < tip.max() < 2.3 * EB_TIP
+
+
+def test_bc_rows_stay_zero(sim):
+    wh = sim.simulate(sim.t_array, jnp.asarray(sim.f_history))
+    free = np.asarray(sim.free_mask)
+    bc_vals = np.asarray(wh)[:, free == 0.0]
+    assert np.abs(bc_vals).max() < 1e-12
+
+
+def test_energy_history_and_volume(sim):
+    wh = sim.simulate(sim.t_array, jnp.asarray(sim.f_history))
+    se = np.asarray(sim.strain_energy_history(wh, sim.t_array))
+    assert se[0] == 0.0
+    assert np.all(se >= -1e-12)
+    vol = VolumeOperation(sim).evaluate(sim.t_array)
+    assert abs(float(vol) - H * 2 * 10) < 1e-10
+
+
+def test_transient_adjoint_vs_fd(sim):
+    op = StateOperation(sim)
+    tse = TotalStrainEnergyOperation(sim)
+
+    def obj(p):
+        wh = op.evaluate(p["thickness"])
+        return jnp.reshape(tse.evaluate(wh, p["thickness"]), ())
+
+    check_totals(obj, {"thickness": sim.t_array}, eps=1e-5, directions=2,
+                 rtol=1e-4, verbose=False)
+
+
+def test_transient_adjoint_wrt_force_history(sim):
+    op = StateOperation(sim)
+    tse = TotalStrainEnergyOperation(sim)
+    fh = jnp.asarray(sim.f_history)
+
+    def obj(p):
+        wh = op.evaluate(sim.t_array, f_history=p["fh"])
+        return jnp.reshape(tse.evaluate(wh, sim.t_array), ())
+
+    check_totals(obj, {"fh": fh}, eps=1e-5, directions=1, rtol=1e-4,
+                 verbose=False)
+
+
+def test_timestep_refinement_converges(sim):
+    # halving dt with the same end time changes the response smoothly
+    mesh = sim.mesh
+    nn = mesh.n_nodes
+    f = np.zeros((nn, 3))
+    f[:, 2] = 2.0
+    tips = []
+    for dt, N in [(0.02, 10), (0.01, 20)]:
+        s = PlateSim(mesh, E_VAL, NU, RHO, dt=dt, Nsteps=N,
+                     element_wise_thickness=True, quad_deg=4)
+        s.update_f_history(np.tile(f.reshape(1, -1), (N + 1, 1)))
+        s.update_t(np.full(mesh.n_cells, H))
+        wh = s.simulate(s.t_array, jnp.asarray(s.f_history))
+        tips.append(float(s.tip_disp(wh[-1])))
+    # both reach the same order of tip displacement at t=0.2
+    assert abs(tips[0] - tips[1]) < 0.5 * abs(tips[1]) + 1e-6
+
+
+def test_svk_residual_zero_at_solution(sim):
+    wh = sim.simulate(sim.t_array, jnp.asarray(sim.f_history))
+    res_fn = sim.SVK_residual()
+    # residual at step 1 (w0 = wdot0 = 0) must vanish on free dofs
+    f1 = jnp.asarray(sim.f_history[1])
+    r = res_fn(wh[1], wh[0], jnp.zeros(sim.fe_dofs), sim.t_array, f1)
+    free = np.asarray(sim.free_mask)
+    assert np.abs(np.asarray(r)[free == 1.0]).max() < 1e-7
