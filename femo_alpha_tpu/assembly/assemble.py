@@ -14,6 +14,21 @@ import jax
 import jax.numpy as jnp
 
 
+def gather_dofs(x, dofmap_d):
+    """TPU-safe dof gather: x (n_dofs,), dofmap (nc, nd) -> (nc, nd).
+
+    Implemented as a 2D row gather (x reshaped to (n, 1)): the experimental
+    TPU platform plugin wedges on 1D gather HLO but handles row gathers of
+    2D operands; on CPU/GPU this lowers identically to x[dofmap]."""
+    nc, nd = dofmap_d.shape
+    return x.reshape(-1, 1)[dofmap_d.reshape(-1), :].reshape(nc, nd)
+
+
+def gather_1d(x, idx):
+    """TPU-safe 1D gather of scalars at indices idx."""
+    return x.reshape(-1, 1)[idx, :][:, 0]
+
+
 def scatter_add(dofmap_d, cell_vals, n_dofs):
     """Scatter-add per-cell local vectors into a global vector.
 
@@ -54,13 +69,13 @@ class FemForm:
                 out[name] = v
                 axes[name] = None
             else:
-                out[name] = jnp.asarray(v)[sp.dofmap_d]
+                out[name] = gather_dofs(jnp.asarray(v), sp.dofmap_d)
                 axes[name] = 0
         return out, axes
 
     def cell_values(self, fn, u, params):
         """vmap fn(u_cell, x_cell, pcells) over cells."""
-        uc = jnp.asarray(u)[self.space.dofmap_d]
+        uc = gather_dofs(jnp.asarray(u), self.space.dofmap_d)
         pc, axes = self.gather_params(params)
         return jax.vmap(fn, in_axes=(0, 0, axes))(
             uc, self.space.cell_coords_d, pc
@@ -97,7 +112,7 @@ def make_matvec(Ae, dofmap_d, n_dofs):
     XLA's dynamic-gather and segment_sum."""
 
     def matvec(x):
-        xc = x[dofmap_d]
+        xc = gather_dofs(x, dofmap_d)
         yc = jnp.einsum("cij,cj->ci", Ae, xc)
         return scatter_add(dofmap_d, yc, n_dofs)
 

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from ..elements import reference_element
 from ..elements.quadrature import quadrature_rule
-from .assemble import scatter_add
+from .assemble import gather_dofs, scatter_add
 
 # local edge parametrizations xi(t), t in [0,1], and d(xi)/dt
 _EDGE_PARAM = {
@@ -116,14 +116,14 @@ class FacetForm:
                 out[name] = v
                 axes[name] = None
             else:
-                out[name] = jnp.asarray(v)[sp.dofmap_d[cells_d]]
+                out[name] = gather_dofs(jnp.asarray(v), sp.dofmap_d[cells_d])
                 axes[name] = 0
         return out, axes
 
     def assemble_residual(self, u, params):
         r = jnp.zeros(self.space.n_dofs, dtype=jnp.asarray(u).dtype)
         for g in self.groups:
-            uc = jnp.asarray(u)[g["dofmap_d"]]
+            uc = gather_dofs(jnp.asarray(u), g["dofmap_d"])
             xc = self.space.cell_coords_d[g["cells_d"]]
             pc, axes = self._gather(params, g["cells_d"])
             rc = jax.vmap(g["kernel"], in_axes=(0, 0, axes))(uc, xc, pc)
@@ -133,7 +133,7 @@ class FacetForm:
     def assemble_scalar(self, u, params):
         total = 0.0
         for g in self.groups:
-            uc = jnp.asarray(u)[g["dofmap_d"]]
+            uc = gather_dofs(jnp.asarray(u), g["dofmap_d"])
             xc = self.space.cell_coords_d[g["cells_d"]]
             pc, axes = self._gather(params, g["cells_d"])
             total = total + jnp.sum(
@@ -145,7 +145,7 @@ class FacetForm:
         """[(Ae, dofmap)] pairs for the linearized operator."""
         ops = []
         for g in self.groups:
-            uc = jnp.asarray(u)[g["dofmap_d"]]
+            uc = gather_dofs(jnp.asarray(u), g["dofmap_d"])
             xc = self.space.cell_coords_d[g["cells_d"]]
             pc, axes = self._gather(params, g["cells_d"])
             Ae = jax.vmap(g["jac"], in_axes=(0, 0, axes))(uc, xc, pc)

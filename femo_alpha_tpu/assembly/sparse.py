@@ -12,6 +12,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from .assemble import gather_1d
+
 
 class CSRPattern:
     def __init__(self, dofmap, n_dofs):
@@ -38,12 +40,14 @@ class CSRPattern:
     def assemble(self, Ae):
         """Element matrices (nc, nd, nd) -> CSR data (nnz,) on device."""
         return jax.ops.segment_sum(
-            Ae.reshape(-1)[self.perm_d], self.seg_d, num_segments=self.nnz
+            gather_1d(Ae.reshape(-1), self.perm_d), self.seg_d,
+            num_segments=self.nnz,
         )
 
     def matvec(self, data, x):
         return jax.ops.segment_sum(
-            data * x[self.indices_d], self.row_ids_d, num_segments=self.n
+            data * gather_1d(x, self.indices_d), self.row_ids_d,
+            num_segments=self.n,
         )
 
     def to_scipy(self, data):

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from ...assembly.assemble import (
     assemble_residual,
     element_matrices,
+    gather_1d,
     make_matvec,
 )
 from ...assembly.bc import combine_bcs, constrain_matvec, DirichletBC
@@ -149,7 +150,7 @@ class PlateSim:
             # default: max z displacement among vertex dofs
             return jnp.max(jnp.abs(w[: 3 * self.nn].reshape(-1, 3)[:, 2]))
         idx, wts = self._tip_row
-        return jnp.vdot(wts, w[idx])
+        return jnp.vdot(wts, gather_1d(w, idx))
 
     # ------------------------------------------------------------ operators
     def _k_params(self, t_arr):

@@ -26,7 +26,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ...assembly.assemble import FemForm
+from ...assembly.assemble import FemForm, gather_dofs
 from ...assembly.facets import FacetForm, select_facets
 from ...elements import tabulate
 from ...spaces import FunctionSpace, MixedSpace
@@ -519,7 +519,7 @@ class RMShellPDE:
                 b = jnp.einsum("qa,q,q->a", phi_o, vm, wdA)
                 return jnp.linalg.solve(Mloc, b)
 
-            uc = jnp.asarray(u)[W.dofmap_d]
+            uc = gather_dofs(jnp.asarray(u), W.dofmap_d)
             pc, axes = _gather_like(self.param_specs, params, exclude=("F_solid",))
             vals = jax.vmap(cell_fn, in_axes=(0, 0, axes))(
                 uc, W.cell_coords_d, pc)
@@ -576,6 +576,6 @@ def _gather_like(param_specs, params, exclude=()):
             out[name] = v
             axes[name] = None
         else:
-            out[name] = jnp.asarray(v)[sp.dofmap_d]
+            out[name] = gather_dofs(jnp.asarray(v), sp.dofmap_d)
             axes[name] = 0
     return out, axes
