@@ -77,7 +77,7 @@ class ImplicitPDE:
         return constrain_residual(r, u, self.free_mask, self.bc_vals)
 
     def make_solver(self, u, params) -> LinearSolver:
-        ops = [(element_matrices(self.form, u, params), self.form.space.dofmap_d)]
+        ops = [(element_matrices(self.form, u, params), self.form.space)]
         for ff in self.facet_forms:
             ops.extend(ff.element_ops(u, params))
         if self.extra_residual is not None:

@@ -69,23 +69,58 @@ class FemForm:
                 out[name] = v
                 axes[name] = None
             else:
-                out[name] = gather_dofs(jnp.asarray(v), sp.dofmap_d)
+                out[name] = sp.gather(jnp.asarray(v))
                 axes[name] = 0
         return out, axes
 
-    def cell_values(self, fn, u, params):
-        """vmap fn(u_cell, x_cell, pcells) over cells."""
-        uc = gather_dofs(jnp.asarray(u), self.space.dofmap_d)
+    def cell_values(self, fn, u, params, chunk=None):
+        """vmap fn(u_cell, x_cell, pcells) over cells.
+
+        chunk: process cells in blocks of this size via lax.map (bounds the
+        peak HBM of wide-tangent jacfwd batches on large meshes; the padding
+        blowup of tiny trailing dims makes unchunked jacfwd exceed HBM at
+        ~50k+ cells)."""
+        uc = self.space.gather(jnp.asarray(u))
         pc, axes = self.gather_params(params)
-        return jax.vmap(fn, in_axes=(0, 0, axes))(
-            uc, self.space.cell_coords_d, pc
-        )
+        xc = self.space.cell_coords_d
+        nc = uc.shape[0]
+        if chunk is None or nc <= chunk:
+            return jax.vmap(fn, in_axes=(0, 0, axes))(uc, xc, pc)
+        # largest divisor of nc that is <= chunk
+        c = chunk
+        while nc % c != 0:
+            c -= 1
+        k = nc // c
+
+        def reshape_chunked(a):
+            return a.reshape((k, c) + a.shape[1:])
+
+        uc_k = reshape_chunked(uc)
+        xc_k = reshape_chunked(xc)
+        pc_k = {
+            name: (reshape_chunked(v) if axes[name] == 0 else v)
+            for name, v in pc.items()
+        }
+
+        def per_chunk(args):
+            u_b, x_b, p_b = args
+            pfull = dict(p_b)
+            for name in self.scalar_names():
+                pfull[name] = pc[name]
+            return jax.vmap(fn, in_axes=(0, 0, axes))(u_b, x_b, pfull)
+
+        mapped_p = {n: pc_k[n] for n in pc_k if axes[n] == 0}
+        out = jax.lax.map(per_chunk, (uc_k, xc_k, mapped_p))
+        return out.reshape((nc,) + out.shape[2:])
+
+    def scalar_names(self):
+        return [n for n, sp in self.param_specs.items() if sp is None]
 
 
 def assemble_residual(form: FemForm, u, params=None):
     params = params or {}
     rc = form.cell_values(form.kernel, u, params)
-    return scatter_add(form.space.dofmap_d, rc, form.space.n_dofs)
+    return form.space.scatter_add(rc)
 
 
 def assemble_scalar(form_or_space, kernel_or_u=None, u=None, params=None):
@@ -97,19 +132,32 @@ def assemble_scalar(form_or_space, kernel_or_u=None, u=None, params=None):
     return jnp.sum(vals)
 
 
-def element_matrices(form: FemForm, u, params=None):
+def element_matrices(form: FemForm, u, params=None, chunk=16384):
     """Per-cell Jacobian dR_cell/du_cell: (nc, nd, nd). Replaces
-    `ufl.derivative(R, u)` + FFCx matrix kernels (fea_dolfinx.py:81-82)."""
+    `ufl.derivative(R, u)` + FFCx matrix kernels (fea_dolfinx.py:81-82).
+    Chunked over cells by default: jacfwd pushes nd tangents through the
+    kernel at once, so peak memory is nd x the kernel's intermediates."""
     params = params or {}
     jac = jax.jacfwd(form.kernel, argnums=0)
-    return form.cell_values(jac, u, params)
+    return form.cell_values(jac, u, params, chunk=chunk)
 
 
-def make_matvec(Ae, dofmap_d, n_dofs):
+def make_matvec(Ae, spec, n_dofs=None):
     """Matrix-free operator x -> A@x from precomputed element matrices.
 
-    The einsum is a large batched matmul (MXU-friendly); gather/scatter ride
-    XLA's dynamic-gather and segment_sum."""
+    spec: either a FunctionSpace/MixedSpace (uses its gather/scatter — the
+    structured slice/pad fast path when available) or a raw (nc, nd) dofmap
+    with explicit n_dofs. The einsum is a large batched matmul
+    (MXU-friendly)."""
+    if hasattr(spec, "gather"):
+
+        def matvec(x):
+            yc = jnp.einsum("cij,cj->ci", Ae, spec.gather(x))
+            return spec.scatter_add(yc)
+
+        return matvec
+
+    dofmap_d = spec
 
     def matvec(x):
         xc = gather_dofs(x, dofmap_d)

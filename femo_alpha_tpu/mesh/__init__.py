@@ -6,6 +6,7 @@ coordinates/connectivity are transferred to HBM once by the function spaces.
 """
 
 from .mesh import Mesh, LOCAL_EDGES
+from .structured import StructuredQuadMesh
 from .generation import (
     createIntervalMesh,
     createRectangleMesh,
@@ -16,6 +17,7 @@ from .generation import (
 __all__ = [
     "Mesh",
     "LOCAL_EDGES",
+    "StructuredQuadMesh",
     "createIntervalMesh",
     "createRectangleMesh",
     "createUnitSquareMesh",

@@ -1,4 +1,12 @@
 from .beam import EulerBernoulliBeamModel
 from .rm_shell import RMShellModel, RMShellPDE
+from .poisson import PoissonModel
+from .elasticity import ElasticityModel
 
-__all__ = ["EulerBernoulliBeamModel", "RMShellModel", "RMShellPDE"]
+__all__ = [
+    "EulerBernoulliBeamModel",
+    "RMShellModel",
+    "RMShellPDE",
+    "PoissonModel",
+    "ElasticityModel",
+]

@@ -212,8 +212,8 @@ class PlateSim:
         n = self.fe_dofs
         Ke, Me = self._element_mats(t_arr)
         dm = self.W.dofmap_d
-        K_mv = make_matvec(Ke, dm, n)
-        M_mv = make_matvec(Me, dm, n)
+        K_mv = make_matvec(Ke, self.W)
+        M_mv = make_matvec(Me, self.W)
         free = self.free_mask
 
         def A_mv(x):
@@ -226,10 +226,10 @@ class PlateSim:
             A = apply_bc_dense(
                 dense_from_elements(jax.lax.stop_gradient(Ae), dm, n), free
             )
-            lu, piv = jax.scipy.linalg.lu_factor(A)
+            chol = jax.scipy.linalg.cho_factor(A)  # SPD; f64-safe on TPU
 
             def inner_solve(mv, b):
-                return jax.scipy.linalg.lu_solve((lu, piv), b)
+                return jax.scipy.linalg.cho_solve(chol, b)
         else:
             # Jacobi-preconditioned CG; the preconditioner uses
             # stop_gradient'd diagonals (solver internals need no AD)
@@ -237,8 +237,8 @@ class PlateSim:
             Ae_sg = jax.lax.stop_gradient((2.0 / dt**2) * Me + 0.5 * Ke)
             from ...assembly.assemble import scatter_add
 
-            diag = scatter_add(
-                dm, jnp.diagonal(Ae_sg, axis1=1, axis2=2), n)
+            diag = self.W.scatter_add(
+                jnp.diagonal(Ae_sg, axis1=1, axis2=2))
             diag = free * diag + (1.0 - free)
             inv = jnp.where(diag != 0, 1.0 / diag, 1.0)
 
@@ -283,9 +283,8 @@ class PlateSim:
 
         def residual(w, w_old, wdot_old, t_arr, f):
             Ke, Me = self._element_mats(t_arr)
-            dm = self.W.dofmap_d
-            K_mv = make_matvec(Ke, dm, self.fe_dofs)
-            M_mv = make_matvec(Me, dm, self.fe_dofs)
+            K_mv = make_matvec(Ke, self.W)
+            M_mv = make_matvec(Me, self.W)
             wdot = (2.0 / dt) * (w - w_old) - wdot_old
             wddot = (wdot - wdot_old) / dt
             F = self.assemble_load(f)

@@ -29,15 +29,26 @@ def apply_bc_dense(A, free_mask):
 
 
 class DenseSolver:
-    """LU-factor once, solve many (and solve with the transpose for
-    adjoints — parity with MUMPS transpose solves, fea_dolfinx.py:182,198)."""
+    """Factor once, solve many (and solve with the transpose for adjoints —
+    parity with MUMPS transpose solves, fea_dolfinx.py:182,198).
 
-    def __init__(self, A):
-        self.lu, self.piv = jax.scipy.linalg.lu_factor(A)
-        self._luT = None
+    spd=True uses Cholesky — preferred for our SPD systems and REQUIRED for
+    float64 on TPU, where XLA's LuDecomposition is f32-only but Cholesky and
+    TriangularSolve support f64."""
+
+    def __init__(self, A, spd=False):
+        self.spd = spd
+        if spd:
+            self.chol = jax.scipy.linalg.cho_factor(A)
+        else:
+            self.lu, self.piv = jax.scipy.linalg.lu_factor(A)
 
     def solve(self, b):
+        if self.spd:
+            return jax.scipy.linalg.cho_solve(self.chol, b)
         return jax.scipy.linalg.lu_solve((self.lu, self.piv), b)
 
     def solve_transpose(self, b):
+        if self.spd:
+            return jax.scipy.linalg.cho_solve(self.chol, b)
         return jax.scipy.linalg.lu_solve((self.lu, self.piv), b, trans=1)

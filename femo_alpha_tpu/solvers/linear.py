@@ -24,6 +24,11 @@ from .direct import DenseSolver, apply_bc_dense, dense_from_elements
 from .krylov import cg_solve, gmres_solve
 
 
+def _dm(spec):
+    """Raw dofmap from an op spec (space or dofmap)."""
+    return spec.dofmap_d if hasattr(spec, "dofmap_d") else spec
+
+
 def _sum_matvec(fns):
     def mv(x):
         y = fns[0](x)
@@ -37,10 +42,11 @@ def _sum_matvec(fns):
 class LinearSolver:
     """Solve A x = b with strong-BC masking.
 
-    ops: list of (Ae (nc, nd, nd), dofmap_d (nc, nd)) element-matrix blocks;
-    their sum is the raw operator. method: 'dense' | 'cg' | 'gmres'.
-    pc: 'jacobi' | None. extra_matvec: optional additional linear operator
-    (matrix-free; excluded from the preconditioner)."""
+    ops: list of (Ae (nc, nd, nd), spec) element-matrix blocks where spec is
+    a FunctionSpace/MixedSpace (structured fast path when available) or a raw
+    (nc, nd) dofmap; their sum is the raw operator. method: 'dense' | 'cg' |
+    'gmres'. pc: 'jacobi' | None. extra_matvec: optional additional linear
+    operator (matrix-free; excluded from the preconditioner)."""
 
     def __init__(
         self,
@@ -61,7 +67,9 @@ class LinearSolver:
         self.method = method
         self.symmetric = symmetric
         self.tol = tol
-        self.maxiter = maxiter or max(200, 4 * int(n_dofs**0.5) + 100)
+        # CG terminates in <= n iterations in exact arithmetic; allow slack
+        # for rounding. A too-small cap silently truncates the solve.
+        self.maxiter = maxiter or min(max(500, 10 * n_dofs), 200_000)
         dtype = ops[0][0].dtype
         self.free_mask = (
             jnp.ones(n_dofs, dtype=dtype) if free_mask is None else free_mask
@@ -81,15 +89,15 @@ class LinearSolver:
         self.matvec = constrain_matvec(self.raw_matvec, self.free_mask)
         self.matvecT = constrain_matvec(self.rawT_matvec, self.free_mask)
         if method == "dense":
-            A = dense_from_elements(ops[0][0], ops[0][1], n_dofs)
+            A = dense_from_elements(ops[0][0], _dm(ops[0][1]), n_dofs)
             for Ae, dm in ops[1:]:
-                A = A + dense_from_elements(Ae, dm, n_dofs)
+                A = A + dense_from_elements(Ae, _dm(dm), n_dofs)
             if extra_matvec is not None:
                 A = A + jax.vmap(extra_matvec, in_axes=1, out_axes=1)(
                     jnp.eye(n_dofs, dtype=dtype)
                 )
             A = apply_bc_dense(A, self.free_mask)
-            self._dense = DenseSolver(A)
+            self._dense = DenseSolver(A, spd=symmetric)
             self.M = None
         else:
             self._dense = None
@@ -100,7 +108,10 @@ class LinearSolver:
         diag = jnp.zeros(self.n, dtype=self.ops[0][0].dtype)
         for Ae, dm in self.ops:
             dc = jnp.diagonal(Ae, axis1=1, axis2=2)
-            diag = diag + scatter_add(dm, dc, self.n)
+            if hasattr(dm, "scatter_add"):
+                diag = diag + dm.scatter_add(dc)
+            else:
+                diag = diag + scatter_add(dm, dc, self.n)
         diag = self.free_mask * diag + (1.0 - self.free_mask)
         inv = jnp.where(diag != 0.0, 1.0 / diag, 1.0)
         return lambda v: inv * v

@@ -45,6 +45,89 @@ def _build_scalar_dofmap(mesh: Mesh, elem):
     return dofmap, n_dofs
 
 
+def _structured_layout(mesh, family, degree, vs):
+    """Slice-based gather / pad-based scatter closures for grid-ordered dofs
+    on a StructuredQuadMesh (see mesh/structured.py). Returns None when the
+    (family, degree) pair has no structured specialization."""
+    import jax.numpy as jnp
+
+    nx, ny = mesh.nx, mesh.ny
+    nc = nx * ny
+    nV = (nx + 1) * (ny + 1)
+    nEX = nx * (ny + 1)
+    nEY = (nx + 1) * ny
+
+    def pad(a, px, py):
+        return jnp.pad(a, (px, py, (0, 0)))
+
+    if family in ("P", "CG", "Lagrange", "Q") and degree == 1:
+
+        def gather(x):
+            V = x.reshape(nx + 1, ny + 1, vs)
+            parts = [V[:-1, :-1], V[1:, :-1], V[1:, 1:], V[:-1, 1:]]
+            return jnp.stack(parts, axis=2).reshape(nc, 4 * vs)
+
+        def scatter(cv):
+            g = cv.reshape(nx, ny, 4, vs)
+            V = (
+                pad(g[:, :, 0], (0, 1), (0, 1))
+                + pad(g[:, :, 1], (1, 0), (0, 1))
+                + pad(g[:, :, 2], (1, 0), (1, 0))
+                + pad(g[:, :, 3], (0, 1), (1, 0))
+            )
+            return V.reshape(-1)
+
+        return gather, scatter
+
+    if family in ("P", "CG", "Lagrange", "Q") and degree == 2:
+
+        def gather(x):
+            o1 = nV * vs
+            o2 = o1 + nEX * vs
+            o3 = o2 + nEY * vs
+            V = x[:o1].reshape(nx + 1, ny + 1, vs)
+            EX = x[o1:o2].reshape(nx, ny + 1, vs)
+            EY = x[o2:o3].reshape(nx + 1, ny, vs)
+            C = x[o3:].reshape(nx, ny, vs)
+            parts = [
+                V[:-1, :-1], V[1:, :-1], V[1:, 1:], V[:-1, 1:],
+                EX[:, :-1], EY[1:, :], EX[:, 1:], EY[:-1, :], C,
+            ]
+            return jnp.stack(parts, axis=2).reshape(nc, 9 * vs)
+
+        def scatter(cv):
+            g = cv.reshape(nx, ny, 9, vs)
+            V = (
+                pad(g[:, :, 0], (0, 1), (0, 1))
+                + pad(g[:, :, 1], (1, 0), (0, 1))
+                + pad(g[:, :, 2], (1, 0), (1, 0))
+                + pad(g[:, :, 3], (0, 1), (1, 0))
+            )
+            EX = pad(g[:, :, 4], (0, 0), (0, 1)) + pad(
+                g[:, :, 6], (0, 0), (1, 0))
+            EY = pad(g[:, :, 5], (1, 0), (0, 0)) + pad(
+                g[:, :, 7], (0, 1), (0, 0))
+            C = g[:, :, 8]
+            return jnp.concatenate(
+                [V.reshape(-1), EX.reshape(-1), EY.reshape(-1), C.reshape(-1)]
+            )
+
+        return gather, scatter
+
+    if family == "DG" and degree in (0, 1):
+        nd = 1 if degree == 0 else 4
+
+        def gather(x):
+            return x.reshape(nc, nd * vs)
+
+        def scatter(cv):
+            return cv.reshape(-1)
+
+        return gather, scatter
+
+    return None
+
+
 class FunctionSpace:
     """A (possibly vector-valued) finite element space on a mesh."""
 
@@ -70,6 +153,31 @@ class FunctionSpace:
         self.dofmap_d = jnp.asarray(self.dofmap)
         self.cell_coords_d = jnp.asarray(mesh.cell_coords())
         self._dof_coords = None
+        # structured fast path (slice gather / pad scatter) when available
+        self._layout = None
+        if getattr(mesh, "structured", False):
+            self._layout = _structured_layout(mesh, family, degree, value_size)
+
+    # ------------------------------------------------- gather/scatter
+    def gather(self, x):
+        """(n_dofs,) -> (nc, nd_local) cell-dof values."""
+        if self._layout is not None:
+            return self._layout[0](x)
+        from ..assembly.assemble import gather_dofs
+
+        return gather_dofs(x, self.dofmap_d)
+
+    def scatter_add(self, cell_vals):
+        """(nc, nd_local) -> (n_dofs,) scatter-add."""
+        if self._layout is not None:
+            return self._layout[1](cell_vals)
+        import jax
+
+        return jax.ops.segment_sum(
+            cell_vals.reshape(-1),
+            self.dofmap_d.reshape(-1),
+            num_segments=self.n_dofs,
+        )
 
     # ------------------------------------------------------------- coords
     @property
@@ -134,6 +242,24 @@ class MixedSpace:
         for s in self.subspaces:
             self.local_slices.append(slice(o, o + s.nd_local))
             o += s.nd_local
+
+    def gather(self, x):
+        parts = [
+            s.gather(x[self.offsets[i]: self.offsets[i + 1]])
+            for i, s in enumerate(self.subspaces)
+        ]
+        import jax.numpy as _jnp
+
+        return _jnp.concatenate(parts, axis=1)
+
+    def scatter_add(self, cell_vals):
+        import jax.numpy as _jnp
+
+        parts = [
+            s.scatter_add(cell_vals[:, self.local_slices[i]])
+            for i, s in enumerate(self.subspaces)
+        ]
+        return _jnp.concatenate(parts)
 
     def split(self, x):
         """Split a global mixed vector into per-subspace vectors."""
