@@ -17,18 +17,14 @@ from .assemble import gather_1d
 
 class CSRPattern:
     def __init__(self, dofmap, n_dofs):
+        from ..native import build_csr_pattern
+
         dofmap = np.asarray(dofmap)
-        nc, nd = dofmap.shape
-        rows = np.repeat(dofmap, nd, axis=1).reshape(-1)  # (nc*nd*nd,)
-        cols = np.tile(dofmap, (1, nd)).reshape(-1)
-        key = rows.astype(np.int64) * n_dofs + cols
-        order = np.argsort(key, kind="stable")
-        sk = key[order]
-        uniq, seg = np.unique(sk, return_inverse=True)
+        order, seg, row_ids, cols = build_csr_pattern(dofmap, n_dofs)
         self.n = n_dofs
-        self.nnz = len(uniq)
-        self.indices = (uniq % n_dofs).astype(np.int32)
-        self.row_ids = (uniq // n_dofs).astype(np.int32)
+        self.nnz = len(cols)
+        self.indices = cols
+        self.row_ids = row_ids
         counts = np.bincount(self.row_ids, minlength=n_dofs)
         self.indptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
         # device side

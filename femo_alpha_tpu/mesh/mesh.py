@@ -65,21 +65,17 @@ class Mesh:
             self.ext_facet_verts = ext_verts.astype(np.int32).reshape(-1, 1)
         else:
             le = LOCAL_EDGES[ct]
-            # all (cell, local_edge) vertex pairs, sorted for dedup
-            pairs = self.conn[:, le]  # (nc, ne_local, 2)
-            key = np.sort(pairs.reshape(-1, 2), axis=1)
-            uniq, inv, counts = np.unique(
-                key, axis=0, return_inverse=True, return_counts=True
-            )
-            self.edges = uniq.astype(np.int32)  # (n_edges, 2) sorted verts
+            # native C++ edge extraction (numpy fallback inside)
+            from ..native import build_edges
+
+            uniq, cell_edges, counts = build_edges(self.conn, le)
+            self.edges = uniq  # (n_edges, 2) sorted verts, lex order
             self.n_edges = len(uniq)
             ne_local = le.shape[0]
-            self.cell_edges = inv.reshape(self.n_cells, ne_local).astype(np.int32)
+            self.cell_edges = cell_edges
             # exterior facets: edges with exactly one incident cell
             ext_edge_ids = np.where(counts == 1)[0]
-            is_ext_entry = np.isin(inv, ext_edge_ids).reshape(
-                self.n_cells, ne_local
-            )
+            is_ext_entry = np.isin(cell_edges, ext_edge_ids)
             cells, locs = np.nonzero(is_ext_entry)
             self.ext_facet_cell = cells.astype(np.int32)
             self.ext_facet_local = locs.astype(np.int32)
