@@ -33,6 +33,20 @@ _X64 = _os.environ.get("FEMO_X64", "1") != "0"
 if _X64:
     _jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: FEM kernels (wide-tangent jacfwd, fused CG
+# loops) have heavy XLA compiles, especially with emulated f64 on TPU; cache
+# them across processes. Disable with FEMO_COMPILE_CACHE=0.
+if _os.environ.get("FEMO_COMPILE_CACHE", "1") != "0":
+    _cache_dir = _os.environ.get(
+        "FEMO_COMPILE_CACHE_DIR",
+        _os.path.join(_os.path.dirname(__file__), "..", ".jax_cache"),
+    )
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:  # older jax without these options
+        pass
+
 __version__ = "0.1.0"
 
 from . import config  # noqa: E402,F401

@@ -30,6 +30,56 @@ def jacobi_preconditioner(Ae, dofmap_d, n_dofs, free_mask=None):
     return M
 
 
+def mixed_block_jacobi(Ae, W, free_mask=None):
+    """Node-block Jacobi for a MixedSpace of vector subspaces (the RM shell's
+    CG2(vec3) x CG1(vec3)): per-scalar-node value_size x value_size diagonal
+    blocks, extracted from the element matrices, inverted in batch.
+
+    Stronger than point Jacobi on shells because it couples the components
+    of each node (translations resp. rotations) — the reference gets this
+    coupling for free from MUMPS; iteratively it is the cheapest block
+    preconditioner that respects the mixed structure. All device work is
+    slicing + one segment_sum at build; the application is pure reshaping."""
+    import jax.numpy as jnp
+
+    nc = Ae.shape[0]
+    appliers = []
+    for i, sub in enumerate(W.subspaces):
+        o = W.local_slices[i].start
+        bs = sub.value_size
+        nds = sub.element.ndof
+        subA = Ae[:, o: o + nds * bs, o: o + nds * bs].reshape(
+            nc, nds, bs, nds, bs)
+        a_idx = jnp.arange(nds)
+        blocks = subA[:, a_idx, :, a_idx, :]  # (nds, nc, bs, bs)
+        blocks = jnp.swapaxes(blocks, 0, 1).reshape(nc * nds, bs, bs)
+        D = jax.ops.segment_sum(
+            blocks.reshape(nc * nds, bs * bs),
+            jnp.asarray(sub.scalar_dofmap).reshape(-1),
+            num_segments=sub.n_scalar_dofs,
+        ).reshape(sub.n_scalar_dofs, bs, bs)
+        o_g = int(W.offsets[i])
+        if free_mask is not None:
+            fm = free_mask[o_g: o_g + sub.n_dofs].reshape(
+                sub.n_scalar_dofs, bs)
+            D = D * fm[:, :, None] * fm[:, None, :] + jnp.eye(bs)[None] * (
+                1.0 - fm)[:, :, None] * jnp.eye(bs)[None]
+        dd = jnp.abs(jnp.diagonal(D, axis1=1, axis2=2)).sum(axis=1)
+        D = jnp.where((dd == 0.0)[:, None, None], jnp.eye(bs)[None], D)
+        Dinv = jnp.linalg.inv(D)
+        appliers.append((o_g, sub.n_dofs, bs, Dinv))
+
+    def M(v):
+        parts = []
+        for o_g, n_sub, bs, Dinv in appliers:
+            seg = v[o_g: o_g + n_sub].reshape(-1, bs)
+            parts.append(
+                jnp.einsum("nij,nj->ni", Dinv, seg).reshape(-1))
+        return jnp.concatenate(parts)
+
+    return M
+
+
 def block_jacobi_preconditioner(
     Ae, scalar_dofmap_d, n_scalar, bs, free_mask=None, local_offset=0,
     n_dofs=None, global_offset=0,
