@@ -42,7 +42,14 @@ if _os.environ.get("FEMO_COMPILE_CACHE", "1") != "0":
         _os.path.join(_os.path.dirname(__file__), "..", ".jax_cache"),
     )
     try:
-        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        # scope by backend: CPU AOT artifacts record host machine features
+        # that may not match across processes
+        _backend_tag = _os.environ.get("FEMO_PLATFORM") or _os.environ.get(
+            "JAX_PLATFORMS", "default")
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.path.join(_cache_dir, _backend_tag.replace(",", "_")),
+        )
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     except Exception:  # older jax without these options
         pass

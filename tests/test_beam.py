@@ -54,7 +54,7 @@ def test_beam_adjoint_vs_fd(beam):
         return jnp.reshape(beam.evaluate(p["thickness"]).compliance, ())
 
     check_totals(
-        compliance, {"thickness": jnp.full(50, 0.1)}, eps=1e-7,
+        compliance, {"thickness": jnp.full(50, 0.1)}, eps=1e-6,
         directions=2, rtol=1e-5, verbose=False,
     )
 
