@@ -66,6 +66,7 @@ def main():
         f"[bench] {out['backend']} {NX}x{NY} ({out['n_dofs']} dofs): "
         f"wall {out['wall_s']:.3f}s compile {out['compile_s']:.1f}s "
         f"iters fwd/adj {out['iters_fwd']}/{out['iters_adj']} "
+        f"rel_res fwd/adj {out['res_fwd']:.2e}/{out['res_adj']:.2e} "
         f"tip {out['tip']:.6e} J {out['J']:.6e}",
         file=sys.stderr,
     )

@@ -35,8 +35,14 @@ if _X64:
 
 # Persistent compilation cache: FEM kernels (wide-tangent jacfwd, fused CG
 # loops) have heavy XLA compiles, especially with emulated f64 on TPU; cache
-# them across processes. Disable with FEMO_COMPILE_CACHE=0.
-if _os.environ.get("FEMO_COMPILE_CACHE", "1") != "0":
+# them across processes. Disable with FEMO_COMPILE_CACHE=0. CPU is excluded:
+# XLA:CPU AOT artifacts pin host machine features that are detected
+# inconsistently across processes (risking SIGILL), and CPU compiles are
+# cheap anyway.
+if (
+    _os.environ.get("FEMO_COMPILE_CACHE", "1") != "0"
+    and _platform != "cpu"
+):
     _cache_dir = _os.environ.get(
         "FEMO_COMPILE_CACHE_DIR",
         _os.path.join(_os.path.dirname(__file__), "..", ".jax_cache"),

@@ -32,7 +32,7 @@ class ShellBench:
     residual accuracy from fast f32 sweeps)."""
 
     def __init__(self, nx=128, ny=32, quad_deg=2, cg_tol=1e-9,
-                 cg_maxiter=100_000, mode=None, refine_passes=6,
+                 cg_maxiter=100_000, mode=None, refine_passes=16,
                  inner_iters=4000):
         from .mesh import StructuredQuadMesh
         from .models.rm_shell.pde import RMShellPDE
@@ -199,6 +199,8 @@ class ShellBench:
             n_dofs=int(self.n_dofs),
             iters_fwd=int(out["iters_fwd"]),
             iters_adj=int(out["iters_adj"]),
+            res_fwd=float(out["res_fwd"]),
+            res_adj=float(out["res_adj"]),
             tip=tip,
             J=float(out["J"]),
             grad_norm=float(jnp.linalg.norm(out["grad"])),
