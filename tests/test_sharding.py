@@ -1,0 +1,53 @@
+"""Multi-device cell-sharded assembly/solve on the 8-device CPU mesh:
+sharded results must match the single-device pipeline exactly."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from femo_alpha_tpu.parallel.sharding import (
+    ShardedAssembler,
+    ShardedShellStep,
+    make_device_mesh,
+)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_shell_step_runs_and_matches_replicated():
+    jmesh8 = make_device_mesh(8)
+    step8 = ShardedShellStep(nx=16, ny=4, jmesh=jmesh8)
+    v8, g8 = jax.jit(step8.train_step)(step8.example_thickness,
+                                       step8.example_force)
+    jmesh1 = make_device_mesh(1)
+    step1 = ShardedShellStep(nx=16, ny=4, jmesh=jmesh1)
+    v1, g1 = jax.jit(step1.train_step)(step1.example_thickness,
+                                       step1.example_force)
+    assert abs(float(v8) - float(v1)) < 1e-9 * max(1, abs(float(v1)))
+    g8, g1 = np.asarray(g8), np.asarray(g1)
+    # CG tolerance + reduction-order differences bound the agreement
+    assert np.linalg.norm(g8 - g1) < 1e-6 * np.linalg.norm(g1)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_residual_matches_unsharded():
+    from femo_alpha_tpu.assembly.assemble import assemble_residual
+
+    jmesh = make_device_mesh(8)
+    step = ShardedShellStep(nx=8, ny=4, jmesh=jmesh)
+    pde = step.pde
+    nel = step.mesh.n_cells
+    params = {
+        "thickness": jnp.full(nel, 0.2),
+        "E": jnp.full(nel, 4.32e8),
+        "nu": jnp.zeros(nel),
+        "uhat": jnp.zeros(pde.VU.n_dofs),
+        "F_solid": step.example_force,
+    }
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.standard_normal(pde.W.n_dofs)) * 1e-3
+    asm = ShardedAssembler(step.form, jmesh)
+    r_sharded = asm.residual(u, params)
+    r_ref = assemble_residual(step.form, u, params)
+    assert np.allclose(np.asarray(r_sharded), np.asarray(r_ref),
+                       rtol=1e-9, atol=1e-10)
