@@ -33,6 +33,18 @@ _X64 = _os.environ.get("FEMO_X64", "1") != "0"
 if _X64:
     _jax.config.update("jax_enable_x64", True)
 
+# TPU MXU matmuls default to bf16 multiplication passes for f32 operands —
+# 8 mantissa bits. FEM operators span ~8 orders of magnitude (membrane Eh vs
+# bending Eh^3 terms), so bf16 contraction noise makes smoothers/coarse
+# solves DIVERGE (measured: a V-cycle built this way amplifies residuals
+# 5e4x). 'highest' lowers f32 matmuls to multi-pass bf16 (6-pass) which is
+# genuinely f32-accurate at ~3x the MXU cost — mandatory for FEM.
+# Override with FEMO_MATMUL_PRECISION if a model can tolerate less.
+_jax.config.update(
+    "jax_default_matmul_precision",
+    _os.environ.get("FEMO_MATMUL_PRECISION", "highest"),
+)
+
 # Persistent compilation cache: FEM kernels (wide-tangent jacfwd, fused CG
 # loops) have heavy XLA compiles, especially with emulated f64 on TPU; cache
 # them across processes. Disable with FEMO_COMPILE_CACHE=0. CPU is excluded:

@@ -51,15 +51,34 @@ class FemForm:
     global value passed through unmapped).
     """
 
-    def __init__(self, space, kernel, kind="residual", param_specs=None):
+    def __init__(self, space, kernel, kind="residual", param_specs=None,
+                 dtype=None, cell_consts=None):
         self.space = space
         self.param_specs = dict(param_specs or {})
+        # cell_consts: fixed per-cell arrays (leading axis = cells) mapped
+        # into the kernel alongside gathered params — e.g. composite CLT
+        # tensors (the reference's DG0 tensor Functions,
+        # linear_shell_model.py:159-190) or subdomain masks
+        self.cell_consts = {
+            k: jnp.asarray(v) for k, v in (cell_consts or {}).items()
+        }
+        # dtype: cast cell inputs (dofs, coords, params) before the kernel —
+        # with the kernel's static tables cast to match (ElementTables.astype)
+        # this yields a genuinely single-precision assembly path (on TPU, f64
+        # is emulated: an f32 form assembles ~10x faster and compiles much
+        # smaller programs)
+        self.dtype = dtype
         if kind == "energy":
             self.energy_kernel = kernel
             self.kernel = jax.grad(kernel, argnums=0)
         else:
             self.energy_kernel = None
             self.kernel = kernel
+
+    def _cast(self, a):
+        if self.dtype is not None and jnp.issubdtype(a.dtype, jnp.floating):
+            return a.astype(self.dtype)
+        return a
 
     def gather_params(self, params):
         out, axes = {}, {}
@@ -69,8 +88,11 @@ class FemForm:
                 out[name] = v
                 axes[name] = None
             else:
-                out[name] = sp.gather(jnp.asarray(v))
+                out[name] = self._cast(sp.gather(jnp.asarray(v)))
                 axes[name] = 0
+        for name, v in self.cell_consts.items():
+            out[name] = self._cast(v)
+            axes[name] = 0
         return out, axes
 
     def cell_values(self, fn, u, params, chunk=None):
@@ -80,9 +102,9 @@ class FemForm:
         peak HBM of wide-tangent jacfwd batches on large meshes; the padding
         blowup of tiny trailing dims makes unchunked jacfwd exceed HBM at
         ~50k+ cells)."""
-        uc = self.space.gather(jnp.asarray(u))
+        uc = self._cast(self.space.gather(jnp.asarray(u)))
         pc, axes = self.gather_params(params)
-        xc = self.space.cell_coords_d
+        xc = self._cast(self.space.cell_coords_d)
         nc = uc.shape[0]
         if chunk is None or nc <= chunk:
             return jax.vmap(fn, in_axes=(0, 0, axes))(uc, xc, pc)

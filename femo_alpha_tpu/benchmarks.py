@@ -5,9 +5,14 @@ forward+adjoint — one optimizer-iteration equivalent (objective + gradient
 w.r.t. the thickness field) on a structured plate:
 
   assemble element matrices + load   (batched jax kernels, slice/pad layout)
-  forward solve  A u = F             (Jacobi-CG, matrix-free, f64)
+  forward solve  A u = F             (MG-preconditioned CG, matrix-free)
   adjoint solve  A lam = dJ/du       (same operator, symmetric)
   gradient       dJ/dth - lam^T dR/dth   (jax.vjp through assembly)
+
+The preconditioner is geometric multigrid over the structured hierarchy
+(solvers/multigrid.py) — the TPU-native stand-in for the reference's MUMPS
+factorization (SURVEY.md §2.2); `precond='jacobi'` keeps the plain
+block-free Jacobi-CG path for comparison.
 
 The adjoint is composed MANUALLY from the same staged jits (exactly the
 reference's forward+transposed MUMPS flow, SURVEY.md §3.2) so each XLA
@@ -25,15 +30,19 @@ import jax.numpy as jnp
 
 
 class ShellBench:
-    """mode='f64': straight f64 Jacobi-CG (CPU default).
-    mode='refined': f32 Jacobi-CG inner sweeps + f64 residual refinement
+    """mode='f64': straight f64 CG (CPU default).
+    mode='refined': f32 CG inner sweeps + f64 residual refinement
     (TPU default — f64 compute is emulated and the fused f64 CG loop faults
     on the experimental TPU platform plugin; mixed precision recovers f64
-    residual accuracy from fast f32 sweeps)."""
+    residual accuracy from fast f32 sweeps).
+
+    precond='mg' (default): geometric multigrid V-cycle; 'jacobi': point
+    Jacobi (the pre-multigrid path, kept for comparison/testing)."""
 
     def __init__(self, nx=128, ny=32, quad_deg=2, cg_tol=1e-9,
                  cg_maxiter=100_000, mode=None, refine_passes=16,
-                 inner_iters=4000):
+                 inner_iters=None, precond="mg", mg_degree=6,
+                 mg_lmin_ratio=0.06, coarsest_cells=256):
         from .mesh import StructuredQuadMesh
         from .models.rm_shell.pde import RMShellPDE
         from .spaces import locate_dofs_geometric
@@ -45,18 +54,42 @@ class ShellBench:
         )
         from .assembly.bc import DirichletBC, combine_bcs, constrain_matvec
         from .solvers.krylov import cg_solve
+        from .solvers.multigrid import GeometricMG
 
-        mesh = StructuredQuadMesh(nx, ny, (0, 0), (10.0, 2.0), gdim=3)
-        pde = RMShellPDE(mesh, element_wise_material=True,
-                         inplane_deg=quad_deg, shear_deg=quad_deg,
-                         stress_deg=quad_deg)
+        if mode is None:
+            mode = "mixed" if jax.default_backend() == "tpu" else "f64"
+        self.mode = mode
+        # mixed/refined modes: the preconditioner hierarchy (incl. its fine
+        # level) is built with f32 forms — genuinely single-precision
+        # assembly (f32 assembly noise ~1e-4 relative in the kappa-weighted
+        # sense is harmless for a PRECONDITIONER but poisons the CG
+        # operator, hence:)
+        #   mixed   — CG runs in f64 on f64-assembled fine matrices with the
+        #             f32 V-cycle as preconditioner (one solve, no outer
+        #             refinement); TPU default
+        #   refined — f32 CG sweeps + f64 residual-assembly refinement
+        #             (kept: fastest when the f32 floor ~1e-4 is acceptable)
+        pre_dtype = jnp.float32 if mode in ("refined", "mixed") else None
+
+        def build_level(nx_k, ny_k, dtype=pre_dtype):
+            mesh_k = StructuredQuadMesh(nx_k, ny_k, (0, 0), (10.0, 2.0),
+                                        gdim=3)
+            pde_k = RMShellPDE(mesh_k, element_wise_material=True,
+                               inplane_deg=quad_deg, shear_deg=quad_deg,
+                               stress_deg=quad_deg, dtype=dtype)
+            d1 = locate_dofs_geometric(pde_k.V_disp,
+                                       lambda x: x[:, 0] < 1e-12)
+            d2 = locate_dofs_geometric(pde_k.V_rot,
+                                       lambda x: x[:, 0] < 1e-12)
+            dofs_k = np.concatenate([d1, d2 + pde_k.V_disp.n_dofs])
+            free_k, _ = combine_bcs(pde_k.W.n_dofs,
+                                    [DirichletBC(dofs_k, 0.0)])
+            return mesh_k, pde_k, free_k
+
+        mesh, pde, free = build_level(nx, ny, dtype=None)  # f64 master
         self.mesh, self.pde = mesh, pde
         W = pde.W
         self.n_dofs = W.n_dofs
-        d1 = locate_dofs_geometric(pde.V_disp, lambda x: x[:, 0] < 1e-12)
-        d2 = locate_dofs_geometric(pde.V_rot, lambda x: x[:, 0] < 1e-12)
-        dofs = np.concatenate([d1, d2 + pde.V_disp.n_dofs])
-        free, _ = combine_bcs(W.n_dofs, [DirichletBC(dofs, 0.0)])
         form = pde.make_residual_form()
         obj_form = pde.compliance_form()  # ∫|u|^2 J dx + regularization
         nel = mesh.n_cells
@@ -72,34 +105,197 @@ class ShellBench:
                     "F_solid": fvec}
 
         self._params_of = params_of
+        self.free = free
+        self.precond = precond
+
+        def constrained_mv(Ae, space, free_mask):
+            return constrain_matvec(make_matvec(Ae, space), free_mask)
+
+        mg = None
+        form32 = None
+        if precond == "mg":
+            levels = []
+            nx_k, ny_k = nx, ny
+            if pre_dtype is None:
+                pde_k, free_k = pde, free
+            else:
+                _, pde_k, free_k = build_level(nx, ny)
+            while True:
+                lev = {"space": pde_k.W, "free": free_k}
+                form_k = pde_k.make_residual_form()
+                u0_k = jnp.zeros(pde_k.W.n_dofs)
+
+                def make_Ae(p, form_k=form_k, u0_k=u0_k):
+                    return element_matrices(form_k, u0_k, p, chunk=8192)
+
+                lev["make_Ae"] = make_Ae
+                can_coarsen = (
+                    nx_k % 2 == 0 and ny_k % 2 == 0
+                    and (nx_k // 2) * (ny_k // 2) >= coarsest_cells
+                )
+                if can_coarsen:
+                    nVFc = ((nx_k // 2) + 1) * ((ny_k // 2) + 1) * 3
+
+                    def coarsen(p, nx_k=nx_k, ny_k=ny_k, nVFc=nVFc):
+                        def c0(a):
+                            return a.reshape(
+                                nx_k // 2, 2, ny_k // 2, 2).mean(axis=(1, 3)
+                                                                 ).reshape(-1)
+
+                        uh = p["uhat"].reshape(nx_k + 1, ny_k + 1, 3)[
+                            ::2, ::2].reshape(-1)
+                        return {"thickness": c0(p["thickness"]),
+                                "E": c0(p["E"]), "nu": c0(p["nu"]),
+                                "uhat": uh,
+                                "F_solid": jnp.zeros(nVFc, p["F_solid"].dtype)}
+
+                    lev["coarsen"] = coarsen
+                levels.append(lev)
+                if not can_coarsen:
+                    break
+                nx_k, ny_k = nx_k // 2, ny_k // 2
+                _, pde_k, free_k = build_level(nx_k, ny_k)
+            mg = GeometricMG(levels, constrained_mv, degree=mg_degree,
+                             lmin_ratio=mg_lmin_ratio)
+        elif pre_dtype is not None:
+            _, pde32, _ = build_level(nx, ny)
+            form32 = pde32.make_residual_form()
+        self.mg = mg
+
+        @jax.jit
+        def _load_and_Ae64(th):
+            p = params_of(th)
+            F = -assemble_residual(form, u0, p)
+            Ae64 = element_matrices(form, u0, p, chunk=8192)
+            return F, Ae64
+
+        def asm_mixed(th):
+            # host-composed: per-level jits (setup_staged) compile several
+            # times faster than one fused setup program
+            F, Ae64 = _load_and_Ae64(th)
+            p = params_of(th)
+            if mg is not None:
+                state = mg.setup_staged(p, dtype=jnp.float32)
+            else:
+                diag = W.scatter_add(jnp.diagonal(Ae64, axis1=1, axis2=2))
+                diag = free * diag + (1.0 - free)
+                state = {"Ae": [],
+                         "dinv": jnp.where(diag != 0, 1.0 / diag, 1.0)}
+            state["Ae_f"] = Ae64
+            state["F"] = F
+            return state, F
 
         @jax.jit
         def asm(th):
             p = params_of(th)
-            F = -assemble_residual(form, u0, p)
-            Ae = element_matrices(form, u0, p, chunk=8192)
-            diag = W.scatter_add(jnp.diagonal(Ae, axis1=1, axis2=2))
-            diag = free * diag + (1.0 - free)
-            dinv = jnp.where(diag != 0, 1.0 / diag, 1.0)
-            return Ae, F, dinv
+            F = -assemble_residual(form, u0, p)  # f64 (load vector)
+            if mode == "refined":
+                # the entire preconditioner state is f32 (f32 forms); the
+                # f64 outer-refinement residual is later computed by one f64
+                # residual ASSEMBLY per pass — no f64 element matrices at all
+                # (f64 is emulated on TPU: they cost ~100x in compile time)
+                if mg is not None:
+                    state = mg.setup(p, dtype=jnp.float32)
+                else:
+                    p32 = jax.tree.map(
+                        lambda a: a.astype(jnp.float32)
+                        if jnp.issubdtype(a.dtype, jnp.floating) else a, p)
+                    Ae = element_matrices(form32, jnp.zeros(
+                        W.n_dofs, jnp.float32), p32, chunk=8192)
+                    diag = W.scatter_add(
+                        jnp.diagonal(Ae, axis1=1, axis2=2))
+                    f32m = free.astype(jnp.float32)
+                    diag = f32m * diag + (1.0 - f32m)
+                    dinv = jnp.where(diag != 0, 1.0 / diag, 1.0)
+                    state = {"Ae": [Ae], "dinv": dinv}
+                state["th"] = th
+            else:
+                Ae = element_matrices(form, u0, p, chunk=8192)
+                if mg is not None:
+                    state = mg.setup(p, Ae0=Ae)
+                else:
+                    diag = W.scatter_add(
+                        jnp.diagonal(Ae, axis1=1, axis2=2))
+                    diag = free * diag + (1.0 - free)
+                    dinv = jnp.where(diag != 0, 1.0 / diag, 1.0)
+                    state = {"Ae": [Ae], "dinv": dinv}
+            state["F"] = F
+            return state, F
 
-        if mode is None:
-            mode = "refined" if jax.default_backend() == "tpu" else "f64"
-        self.mode = mode
+        def mv_and_M(state, dtype):
+            free_t = free.astype(dtype)
+            mv = constrained_mv(state["Ae"][0], W, free_t)
+            if mg is not None:
+                M = lambda v: mg.apply(state, v)  # noqa: E731
+            else:
+                dinv = state["dinv"]
+                M = lambda v: dinv * v  # noqa: E731
+            return mv, M
+
         if mode == "refined" and cg_tol < 1e-6:
             # f32 inner sweeps stagnate near ~1e-7 true relative residual;
             # 1e-6 is reached in roughly half the sweeps and is well below
             # discretization error for this workload
             cg_tol = 1e-6
+        if inner_iters is None:
+            inner_iters = 300 if precond == "mg" else 4000
 
         if mode == "f64":
 
             @jax.jit
-            def solve(Ae, dinv, rhs):
-                mv = constrain_matvec(make_matvec(Ae, W), free)
-                x, info = cg_solve(mv, free * rhs, M=lambda v: dinv * v,
+            def solve(state, rhs):
+                mv, M = mv_and_M(state, rhs.dtype)
+                x, info = cg_solve(mv, free * rhs, M=M,
                                    tol=cg_tol, maxiter=cg_maxiter)
                 return x, info["iters"], info["resnorm"]
+
+        elif mode == "mixed":
+            # f64 CG on f64 fine matrices with the f32 V-cycle as
+            # preconditioner. Host-chunked: the TPU platform plugin faults
+            # on fused f64 while_loops at larger sizes, so we run compiled
+            # fixed-trip blocks with host convergence checks
+            # (cg_chunk_iterations) instead of one lax.while_loop.
+            from .solvers.krylov import cg_chunk_iterations
+
+            f32 = jnp.float32
+            CHUNK = 32
+
+            def _mv_M(state):
+                mv = constrained_mv(state["Ae_f"], W, free)
+                if mg is not None:
+                    M = lambda v: mg.apply(  # noqa: E731
+                        state, v.astype(f32)).astype(v.dtype)
+                else:
+                    M = lambda v: state["dinv"] * v  # noqa: E731
+                return mv, M
+
+            @jax.jit
+            def _cg_start(state, b):
+                mv, M = _mv_M(state)
+                r = b - mv(jnp.zeros_like(b))
+                z = M(r)
+                return r, z, z, jnp.vdot(r, z), jnp.linalg.norm(r)
+
+            @jax.jit
+            def _cg_chunk(state, x, r, z, p, rz, target):
+                mv, M = _mv_M(state)
+                return cg_chunk_iterations(mv, M, CHUNK, x, r, z, p, rz,
+                                           target)
+
+            def solve(state, rhs):
+                b = free * rhs
+                bnorm = float(jnp.linalg.norm(b))
+                target = jnp.asarray(max(cg_tol * bnorm, 1e-300), b.dtype)
+                x = jnp.zeros_like(b)
+                r, z, p, rz, rn = _cg_start(state, b)
+                it, resnorm = 0, float(rn)
+                while resnorm > float(target) and it < cg_maxiter:
+                    x, r, z, p, rz, rn = _cg_chunk(state, x, r, z, p, rz,
+                                                   target)
+                    resnorm = float(rn)
+                    it += CHUNK
+                return (x, jnp.asarray(it),
+                        jnp.asarray(resnorm / max(bnorm, 1e-300)))
 
         else:
             f32 = jnp.float32
@@ -109,33 +305,36 @@ class ShellBench:
             # inner, early exit on the true residual).
 
             @jax.jit
-            def _residual64(Ae, x, b):
-                mv64 = constrain_matvec(make_matvec(Ae, W), free)
-                return b - mv64(x)
+            def _residual64(th, x, b, F):
+                # A x = R(x) - R(0) = R(x) + F for the linear problem, so
+                # the true f64 residual comes from one residual ASSEMBLY —
+                # the staged equivalent of the reference's r = b - A x with
+                # MUMPS-held A (SURVEY.md §3.2), but without ever forming
+                # f64 element matrices on the TPU
+                p = params_of(th)
+                return free * (b - assemble_residual(form, x, p) - F)
 
             @jax.jit
-            def _inner32(Ae32, dinv32, r32):
-                free32 = free.astype(f32)
-                mv32 = constrain_matvec(make_matvec(Ae32, W), free32)
-                dx, info = cg_solve(mv32, r32, M=lambda v: dinv32 * v,
-                                    tol=3e-4, maxiter=inner_iters)
+            def _inner32(state, r32):
+                mv, M = mv_and_M(state, f32)
+                dx, info = cg_solve(mv, r32, M=M, tol=3e-4,
+                                    maxiter=inner_iters)
                 return dx, info["iters"]
 
-            def solve(Ae, dinv, rhs):
+            def solve(state, rhs):
+                # state's preconditioner part is f32 by construction
                 b = free * rhs
-                Ae32 = Ae.astype(f32)
-                dinv32 = dinv.astype(f32)
                 x = jnp.zeros_like(b)
                 bnorm = float(jnp.linalg.norm(b))
                 total_it = 0
                 rel = 1.0
                 for _ in range(refine_passes):
-                    r = _residual64(Ae, x, b)
+                    r = _residual64(state["th"], x, b, state["F"])
                     rn = float(jnp.linalg.norm(r))
                     rel = rn / max(bnorm, 1e-300)
                     if rel < cg_tol:
                         break
-                    dx, it = _inner32(Ae32, dinv32, (r / rn).astype(f32))
+                    dx, it = _inner32(state, (r / rn).astype(f32))
                     x = x + dx.astype(b.dtype) * rn
                     total_it += int(it)
                 return x, jnp.array(total_it), jnp.array(rel)
@@ -170,17 +369,17 @@ class ShellBench:
             g_j = jax.grad(J_of_th)(th)
             return g_j - g_r
 
-        self.asm, self.solve = asm, solve
+        self.asm = asm_mixed if mode == "mixed" else asm
+        self.solve = solve
         self.objective_and_gu = objective_and_gu
         self.grad_theta = grad_theta
-        self.free = free
 
     def forward_adjoint(self, th):
         """One optimizer-iteration equivalent. Returns dict of results."""
-        Ae, F, dinv = self.asm(th)
-        u, it_f, res_f = self.solve(Ae, dinv, F)
+        state, F = self.asm(th)
+        u, it_f, res_f = self.solve(state, F)
         J, gu = self.objective_and_gu(u, th)
-        lam, it_a, res_a = self.solve(Ae, dinv, gu)
+        lam, it_a, res_a = self.solve(state, gu)
         g = self.grad_theta(u, lam, th)
         return dict(J=J, grad=g, u=u, iters_fwd=it_f, iters_adj=it_a,
                     res_fwd=res_f, res_adj=res_a)

@@ -50,6 +50,21 @@ class ElementTables:
         self.geom_phi = geom.tabulate(self.points, 0)
         self.geom_dphi = geom.tabulate(self.points, 1)
 
+    def astype(self, dtype):
+        """Shallow copy with all tables cast to `dtype` (numpy). Under
+        jax_enable_x64, f64 tables silently promote f32 tracers to f64 in
+        every kernel op; casting the static tables is what makes a genuinely
+        single-precision compute path possible on TPU."""
+        import copy
+
+        t = copy.copy(self)
+        for name in ("points", "weights", "phi", "dphi", "d2phi",
+                     "geom_phi", "geom_dphi"):
+            v = getattr(self, name)
+            if v is not None:
+                setattr(t, name, np.asarray(v, dtype=dtype))
+        return t
+
 
 def tabulate(
     family: str,

@@ -74,6 +74,7 @@ class RMShellModel:
         solver_opts=None,
         inplane_deg=4,
         shear_deg=4,
+        composite_clt=None,
     ):
         if shell_bc_func is None:
             raise ValueError(
@@ -94,6 +95,11 @@ class RMShellModel:
         self.element_type = element_type
         self.inplane_deg = inplane_deg
         self.shear_deg = shear_deg
+        # composite_clt: CompositeCLT per-cell laminate data (parity with
+        # MaterialModelComposite, linear_shell_model.py:159-190); when set,
+        # the elastic energy uses the per-cell A/B/D/A_s tensors and the E,
+        # nu inputs affect only drilling stabilization + stress recovery
+        self.composite_clt = composite_clt
         self.association_table = {}
         if mesh_tags is not None:
             self.set_up_subdomains(mesh_tags)
@@ -126,6 +132,7 @@ class RMShellModel:
             element_type=self.element_type,
             inplane_deg=self.inplane_deg,
             shear_deg=self.shear_deg,
+            composite=self.composite_clt,
         )
         fea = FEA(mesh)
         fea.linear_problem = True

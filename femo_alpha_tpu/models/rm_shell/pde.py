@@ -73,8 +73,19 @@ class RMShellPDE:
         shear_deg=4,
         stress_deg=4,
         bot_plane=False,
+        dtype=None,
+        composite=None,
     ):
         self.mesh = mesh
+        # composite: CompositeCLT per-cell laminate data; replaces the
+        # isotropic single-layer CLT in the elastic energy (parity with
+        # MaterialModelComposite, linear_shell_model.py:159-190). Drilling
+        # stabilization and stress recovery stay isotropic (E, nu, thickness
+        # params), matching the reference's behavior.
+        self.composite = composite
+        # dtype: build all static tables (and forms) in this precision; None
+        # follows the global default (f64). See FemForm dtype / TPU notes.
+        self.dtype = dtype
         self.element_wise_material = element_wise_material
         self.elementwise_pressure = elementwise_pressure
         self.bot_plane = bot_plane
@@ -125,6 +136,10 @@ class RMShellPDE:
                              weights=w)
             tab_f = tabulate(self.VF.family, ct, self.VF.degree, points=pts,
                              weights=w)
+            if dtype is not None:
+                tab_d, tab_r, tab_t, tab_f = (
+                    t.astype(dtype) for t in (tab_d, tab_r, tab_t, tab_f))
+                w = np.asarray(w, dtype=dtype)
             self._rules[name] = dict(d=tab_d, r=tab_r, t=tab_t, f=tab_f,
                                      w=jnp.asarray(w))
 
@@ -177,6 +192,23 @@ class RMShellPDE:
             out["f_q"] = interp_f(p["F_solid"])
         return out
 
+    def _clt(self, pt, p):
+        """(A, B, D, A_s) at the rule's quadrature points: per-cell composite
+        arrays broadcast over points, or isotropic single-layer CLT."""
+        if self.composite is not None:
+            nq = pt["tq"].shape[0]
+            bc = lambda M, s: jnp.broadcast_to(M, (nq,) + s)  # noqa: E731
+            return (bc(p["clt_A"], (3, 3)), bc(p["clt_B"], (3, 3)),
+                    bc(p["clt_D"], (3, 3)), bc(p["clt_As"], (2, 2)))
+        return single_layer_clt(pt["Eq"], pt["nuq"], pt["tq"],
+                                bot=self.bot_plane)
+
+    def _cell_consts(self):
+        if self.composite is None:
+            return None
+        c = self.composite
+        return {"clt_A": c.A, "clt_B": c.B, "clt_D": c.D, "clt_As": c.As}
+
     @staticmethod
     def _strains(pt):
         """(eps, kappa, gamma, t_gu) in the local frame — parity with
@@ -209,8 +241,7 @@ class RMShellPDE:
             pi = self._pointwise("inplane", u_cell, x_cell, p,
                                  need_f=with_load)
             eps, kappa, gamma_ip, t_gu = self._strains(pi)
-            A, B, D, As = single_layer_clt(pi["Eq"], pi["nuq"], pi["tq"],
-                                           bot=self.bot_plane)
+            A, B, D, As = self._clt(pi, p)
             ev = voigt2d(eps)
             kv = voigt2d(kappa)
             N = jnp.einsum("qij,qj->qi", A, ev) + jnp.einsum(
@@ -240,8 +271,7 @@ class RMShellPDE:
             # shear at the (possibly reduced) shear rule, with detF
             ps = self._pointwise("shear", u_cell, x_cell, p)
             _, _, gamma, _ = self._strains(ps)
-            _, _, _, As_s = single_layer_clt(ps["Eq"], ps["nuq"], ps["tq"],
-                                             bot=self.bot_plane)
+            _, _, _, As_s = self._clt(ps, p)
             Q = jnp.einsum("qij,qj->qi", As_s, gamma)
             E_sh = jnp.sum(
                 0.5 * jnp.sum(Q * gamma, axis=1) * ps["detF"]
@@ -254,7 +284,8 @@ class RMShellPDE:
     def make_residual_form(self):
         kern = self.make_elastic_energy_kernel(with_load=True)
         return FemForm(self.W, kern, kind="energy",
-                       param_specs=dict(self.param_specs))
+                       param_specs=dict(self.param_specs),
+                       dtype=self.dtype, cell_consts=self._cell_consts())
 
     # ------------------------------------------------------------ penalty BC
     def make_penalty_facet_form(self, bc_locs_func, quad_degree=4):
@@ -384,7 +415,8 @@ class RMShellPDE:
         kern = self.make_elastic_energy_kernel(with_load=False)
         specs = dict(self.param_specs)
         specs.pop("F_solid")
-        return FemForm(self.W, kern, kind="energy", param_specs=specs)
+        return FemForm(self.W, kern, kind="energy", param_specs=specs,
+                       dtype=self.dtype, cell_consts=self._cell_consts())
 
     def inertia_form(self, rho_is_param=True):
         """Shell inertia as an energy: 0.5 rho h (|u|^2 + h_mesh^2 |theta|^2)

@@ -59,6 +59,82 @@ def cg_solve(matvec, b, x0=None, M=None, tol=1e-10, atol=0.0, maxiter=1000):
     return x, info
 
 
+def make_cg_chunk(matvec, M=None, chunk=40):
+    """Jit-compiled block of `chunk` PCG iterations with frozen-on-converged
+    updates (alpha masked to 0 once ||r|| <= target), for host-driven CG.
+
+    The experimental TPU platform plugin faults on fused f64 while_loops at
+    larger sizes; a fixed-trip fori_loop block + host convergence check runs
+    the same arithmetic without the faulting construct, at ~chunk fewer
+    dispatches than a per-iteration host loop."""
+    import jax
+
+    import jax as _jax
+
+    M = M or _identity
+
+    @_jax.jit
+    def run_chunk(x, r, z, p, rz, target):
+        return cg_chunk_iterations(matvec, M, chunk, x, r, z, p, rz, target)
+
+    return run_chunk
+
+
+def cg_chunk_iterations(matvec, M, chunk, x, r, z, p, rz, target):
+    """`chunk` frozen-on-converged PCG iterations (pure function — embed in
+    any jit; see make_cg_chunk)."""
+    import jax
+
+    def body(_, st):
+        x, r, z, p, rz = st
+        Ap = matvec(p)
+        pAp = jnp.vdot(p, Ap)
+        active = jnp.linalg.norm(r) > target
+        alpha = jnp.where(
+            active, rz / jnp.where(pAp != 0, pAp, 1.0), 0.0)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = M(r)
+        rz_new = jnp.vdot(r, z)
+        beta = jnp.where(active, rz_new / jnp.where(rz != 0, rz, 1.0),
+                         0.0)
+        p = z + beta * p
+        rz = jnp.where(active, rz_new, rz)
+        return (x, r, z, p, rz)
+
+    x, r, z, p, rz = jax.lax.fori_loop(0, chunk, body, (x, r, z, p, rz))
+    return x, r, z, p, rz, jnp.linalg.norm(r)
+
+
+def cg_solve_hostloop(matvec, b, x0=None, M=None, tol=1e-10, atol=0.0,
+                      maxiter=1000, chunk=40, run_chunk=None):
+    """Host-driven PCG: compiled fixed-size chunks + host convergence checks.
+    Same contract as cg_solve. Pass a prebuilt `run_chunk` (make_cg_chunk) to
+    share the compiled block across solves."""
+    M = M or _identity
+    if run_chunk is None:
+        run_chunk = make_cg_chunk(matvec, M, chunk)
+    x = jnp.zeros_like(b) if x0 is None else x0
+    bnorm = float(jnp.linalg.norm(b))
+    target = jnp.asarray(max(tol * bnorm, atol, 1e-300), b.dtype)
+    r = b - matvec(x)
+    z = M(r)
+    p = z
+    rz = jnp.vdot(r, z)
+    it = 0
+    resnorm = float(jnp.linalg.norm(r))
+    while resnorm > float(target) and it < maxiter:
+        x, r, z, p, rz, rn = run_chunk(x, r, z, p, rz, target)
+        resnorm = float(rn)
+        it += chunk
+    info = {
+        "iters": jnp.asarray(min(it, maxiter)),
+        "resnorm": jnp.asarray(resnorm),
+        "converged": resnorm <= float(target),
+    }
+    return x, info
+
+
 def gmres_solve(matvec, b, x0=None, M=None, tol=1e-10, atol=0.0,
                 restart=50, maxiter=20):
     """Restarted GMRES via jax.scipy (left-preconditioned). Returns (x, info);

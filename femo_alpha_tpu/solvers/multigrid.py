@@ -1,0 +1,431 @@
+"""Geometric multigrid preconditioner on structured mesh hierarchies.
+
+This is the TPU-native replacement for the reference's MUMPS direct solves
+(SURVEY.md §2.2: every forward/adjoint solve is preonly+lu+mumps,
+utils_dolfinx.py:495-531) at the scale where dense/direct factorization stops
+fitting: re-discretized coarse operators on a nested StructuredQuadMesh
+hierarchy, Chebyshev(block-Jacobi) smoothing, and a Jacobi-scaled dense solve
+at the coarsest level. The whole setup (per-level element matrices, smoother
+spectra, coarse inverse) is pure JAX, so it can live inside one jitted
+"assemble" stage and re-runs cheaply each optimizer iteration when the
+design (thickness) field changes.
+
+Design notes (TPU-first):
+- Transfer operators are precomputed index/weight tables (host, geometry-only,
+  one-time): for every fine scalar dof, the containing coarse cell and the
+  coarse element basis weights at its location. Prolongation is then a
+  two-level gather + small einsum; restriction is the exact transpose via
+  `segment_sum` — both map onto VPU-friendly batched ops, no sparse matrices.
+- Smoothing is Chebyshev over a block-Jacobi split: SPD-symmetric (so the
+  V-cycle is a valid CG preconditioner), needs only lambda_max (power
+  iteration at setup), and each application is matvec + blockwise solve —
+  the two ops the assembly layer already makes fast.
+- The coarsest level is solved with a Jacobi-scaled dense inverse: symmetric
+  diagonal scaling tames the disp/rot (E h vs E h^3) magnitude split so the
+  inverse stays accurate even when the state is cast to f32 for TPU sweeps.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+# --------------------------------------------------------------------------
+# transfer operators
+# --------------------------------------------------------------------------
+
+
+class Transfer:
+    """Prolongation/restriction between one (sub)space pair on nested meshes.
+
+    dofs (nf, ndc) int32: coarse scalar dofs per fine scalar dof;
+    weights (nf, ndc): coarse basis evaluated at the fine dof coordinate.
+    Vector spaces share the scalar tables; components ride the last axis.
+    """
+
+    def __init__(self, dofs, weights, n_scalar_coarse, value_size):
+        self.dofs_d = jnp.asarray(dofs, dtype=jnp.int32)
+        self.weights_d = jnp.asarray(weights)
+        self.n_scalar_coarse = int(n_scalar_coarse)
+        self.vs = int(value_size)
+
+    def prolong(self, xc):
+        vs = self.vs
+        Xc = xc.reshape(self.n_scalar_coarse, vs)
+        g = Xc[self.dofs_d.reshape(-1), :].reshape(
+            self.dofs_d.shape + (vs,))  # (nf, ndc, vs)
+        w = self.weights_d.astype(xc.dtype)
+        return jnp.einsum("fk,fkc->fc", w, g).reshape(-1)
+
+    def restrict(self, rf):
+        vs = self.vs
+        nf, ndc = self.dofs_d.shape
+        Rf = rf.reshape(nf, vs)
+        w = self.weights_d.astype(rf.dtype)
+        contrib = (w[:, :, None] * Rf[:, None, :]).reshape(nf * ndc, vs)
+        out = jax.ops.segment_sum(
+            contrib, self.dofs_d.reshape(-1),
+            num_segments=self.n_scalar_coarse)
+        return out.reshape(-1)
+
+
+def _structured_locate(mesh_c, pts):
+    """Containing coarse cell + local ref coords for points on a
+    StructuredQuadMesh (vectorized, host numpy)."""
+    xy = np.asarray(pts)[:, :2]
+    c = np.asarray(mesh_c.coords)[:, :2]
+    x0, y0 = c[:, 0].min(), c[:, 1].min()
+    hx = (c[:, 0].max() - x0) / mesh_c.nx
+    hy = (c[:, 1].max() - y0) / mesh_c.ny
+    fi = (xy[:, 0] - x0) / hx
+    fj = (xy[:, 1] - y0) / hy
+    i = np.clip(np.floor(fi).astype(np.int64), 0, mesh_c.nx - 1)
+    j = np.clip(np.floor(fj).astype(np.int64), 0, mesh_c.ny - 1)
+    xi = np.stack([fi - i, fj - j], axis=1)
+    cells = (i * mesh_c.ny + j).astype(np.int32)
+    return cells, xi
+
+
+def space_transfer(space_c, space_f):
+    """Transfer for one FunctionSpace pair on nested structured quad meshes.
+
+    Requires the coarse FE space to be nested in the fine one (same family,
+    mesh refined by integer factors) — then prolongation is exact
+    interpolation and restriction its transpose."""
+    cells, xi = _structured_locate(space_c.mesh, space_f.dof_coords)
+    w = space_c.element.tabulate(xi, 0)  # (nf, ndc)
+    dofs = space_c.scalar_dofmap[cells]  # (nf, ndc)
+    return Transfer(dofs, w, space_c.n_scalar_dofs, space_f.value_size)
+
+
+class MixedTransfer:
+    """Per-subspace transfers for a MixedSpace pair (e.g. CG2 vec3 x CG1 vec3)."""
+
+    def __init__(self, W_c, W_f):
+        self.subs = [
+            space_transfer(sc, sf)
+            for sc, sf in zip(W_c.subspaces, W_f.subspaces)
+        ]
+        self.W_c, self.W_f = W_c, W_f
+
+    def prolong(self, xc):
+        parts = [
+            t.prolong(xc[self.W_c.offsets[i]: self.W_c.offsets[i + 1]])
+            for i, t in enumerate(self.subs)
+        ]
+        return jnp.concatenate(parts)
+
+    def restrict(self, rf):
+        parts = [
+            t.restrict(rf[self.W_f.offsets[i]: self.W_f.offsets[i + 1]])
+            for i, t in enumerate(self.subs)
+        ]
+        return jnp.concatenate(parts)
+
+
+# --------------------------------------------------------------------------
+# smoother building blocks (array-state form: jit-safe across stage borders)
+# --------------------------------------------------------------------------
+
+
+def _batch_inv(D):
+    """Batched small-matrix inverse. Closed-form adjugate for bs<=3 (works in
+    any dtype on TPU — f64 LuDecomposition is not implemented there); LU for
+    larger blocks."""
+    bs = D.shape[-1]
+    if bs == 1:
+        return 1.0 / D
+    if bs == 2:
+        a, b = D[..., 0, 0], D[..., 0, 1]
+        c, d = D[..., 1, 0], D[..., 1, 1]
+        det = a * d - b * c
+        adj = jnp.stack(
+            [jnp.stack([d, -b], -1), jnp.stack([-c, a], -1)], -2)
+        return adj / det[..., None, None]
+    if bs == 3:
+        a = D
+        c00 = a[..., 1, 1] * a[..., 2, 2] - a[..., 1, 2] * a[..., 2, 1]
+        c01 = a[..., 1, 2] * a[..., 2, 0] - a[..., 1, 0] * a[..., 2, 2]
+        c02 = a[..., 1, 0] * a[..., 2, 1] - a[..., 1, 1] * a[..., 2, 0]
+        c10 = a[..., 0, 2] * a[..., 2, 1] - a[..., 0, 1] * a[..., 2, 2]
+        c11 = a[..., 0, 0] * a[..., 2, 2] - a[..., 0, 2] * a[..., 2, 0]
+        c12 = a[..., 0, 1] * a[..., 2, 0] - a[..., 0, 0] * a[..., 2, 1]
+        c20 = a[..., 0, 1] * a[..., 1, 2] - a[..., 0, 2] * a[..., 1, 1]
+        c21 = a[..., 0, 2] * a[..., 1, 0] - a[..., 0, 0] * a[..., 1, 2]
+        c22 = a[..., 0, 0] * a[..., 1, 1] - a[..., 0, 1] * a[..., 1, 0]
+        det = (a[..., 0, 0] * c00 + a[..., 0, 1] * c01 + a[..., 0, 2] * c02)
+        adj = jnp.stack(
+            [jnp.stack([c00, c10, c20], -1),
+             jnp.stack([c01, c11, c21], -1),
+             jnp.stack([c02, c12, c22], -1)], -2)
+        return adj / det[..., None, None]
+    return jnp.linalg.inv(D)
+
+
+def block_jacobi_arrays(Ae, W, free):
+    """Per-node value_size x value_size inverted diagonal blocks for each
+    subspace of a MixedSpace. Returns a list of Dinv arrays
+    ((n_scalar, bs, bs) each) — pure-array state; the static layout (offsets,
+    block sizes) is recoverable from W, see apply_block_jacobi."""
+    nc = Ae.shape[0]
+    out = []
+    for i, sub in enumerate(W.subspaces):
+        o = W.local_slices[i].start
+        bs = sub.value_size
+        nds = sub.element.ndof
+        subA = Ae[:, o: o + nds * bs, o: o + nds * bs].reshape(
+            nc, nds, bs, nds, bs)
+        a_idx = jnp.arange(nds)
+        blocks = subA[:, a_idx, :, a_idx, :]  # (nds, nc, bs, bs)
+        blocks = jnp.swapaxes(blocks, 0, 1).reshape(nc * nds, bs, bs)
+        D = jax.ops.segment_sum(
+            blocks.reshape(nc * nds, bs * bs),
+            jnp.asarray(sub.scalar_dofmap).reshape(-1),
+            num_segments=sub.n_scalar_dofs,
+        ).reshape(sub.n_scalar_dofs, bs, bs)
+        o_g = int(W.offsets[i])
+        fm = free[o_g: o_g + sub.n_dofs].reshape(sub.n_scalar_dofs, bs)
+        eye = jnp.eye(bs, dtype=D.dtype)[None]
+        D = D * fm[:, :, None] * fm[:, None, :] + eye * (1.0 - fm)[:, :, None]
+        dd = jnp.abs(jnp.diagonal(D, axis1=1, axis2=2)).sum(axis=1)
+        D = jnp.where((dd == 0.0)[:, None, None], eye, D)
+        out.append(_batch_inv(D))
+    return out
+
+
+def apply_block_jacobi(W, Dinvs, v):
+    parts = []
+    for i, sub in enumerate(W.subspaces):
+        o_g = int(W.offsets[i])
+        bs = sub.value_size
+        seg = v[o_g: o_g + sub.n_dofs].reshape(-1, bs)
+        parts.append(
+            jnp.einsum("nij,nj->ni", Dinvs[i].astype(v.dtype), seg
+                       ).reshape(-1))
+    return jnp.concatenate(parts)
+
+
+def estimate_lmax(matvec, Minv, n, dtype, iters=25):
+    """Power iteration for lambda_max(M^{-1} A) (SPD pair): runs at setup
+    inside jit; deterministic start vector (no RNG inside compiled code)."""
+    x = jnp.sin(jnp.arange(1, n + 1, dtype=dtype) * 0.7) + 0.01
+
+    def body(_, x):
+        y = Minv(matvec(x))
+        return y / jnp.linalg.norm(y)
+
+    x = jax.lax.fori_loop(0, iters, body, x)
+    y = Minv(matvec(x))
+    return jnp.vdot(x, y) / jnp.vdot(x, x)
+
+
+def chebyshev_smooth(matvec, Minv, lmax, b, x, degree=2, lmin_ratio=0.25):
+    """Preconditioned Chebyshev iteration targeting [lmin_ratio*lmax, lmax]
+    (the hypre/MueLu smoothing recipe): symmetric, divergence-free for any
+    SPD pair, and every step is one matvec + one block solve."""
+    lmax = lmax * 1.05
+    lmin = lmax * lmin_ratio
+    theta = 0.5 * (lmax + lmin)
+    delta = 0.5 * (lmax - lmin)
+    sigma = theta / delta
+    rho = 1.0 / sigma
+    z = Minv(b - matvec(x))
+    d = z / theta
+    x = x + d
+    for _ in range(degree - 1):
+        rho_new = 1.0 / (2.0 * sigma - rho)
+        z = Minv(b - matvec(x))
+        d = (rho_new * rho) * d + (2.0 * rho_new / delta) * z
+        x = x + d
+        rho = rho_new
+    return x
+
+
+def dense_constrained(Ae, dofmap_d, n, free):
+    """Dense assembly of element matrices with BC rows/cols eliminated
+    (identity on constrained dofs) — coarsest-level operator."""
+    idx = dofmap_d[:, :, None].astype(jnp.int32) * n + dofmap_d[:, None, :]
+    A = jax.ops.segment_sum(
+        Ae.reshape(-1), idx.reshape(-1), num_segments=n * n
+    ).reshape(n, n)
+    A = A * free[:, None] * free[None, :] + jnp.diag(1.0 - free)
+    return A
+
+
+# --------------------------------------------------------------------------
+# the preconditioner
+# --------------------------------------------------------------------------
+
+
+class GeometricMG:
+    """V-cycle preconditioner over a list of levels (fine -> coarse).
+
+    Static structure (spaces, transfer tables, free masks, matvec builders)
+    lives on the object; per-design data (element matrices, block inverses,
+    smoother spectra, coarse inverse) is a pytree produced by `setup` so it
+    can flow through jit boundaries like any array.
+
+    levels: list of dicts with keys
+      space      — MixedSpace (or FunctionSpace) of the level
+      free       — (n_dofs,) 1.0/0.0 free-dof mask (device array)
+      make_Ae    — callable(params) -> element matrices (nc, nd, nd)
+      coarsen    — callable(params) -> params of the NEXT level
+                   (absent on the coarsest level)
+    make_matvec(Ae, space, free) -> constrained operator is injected to stay
+    decoupled from the assembly module.
+    """
+
+    def __init__(self, levels, make_matvec, degree=2, lmin_ratio=0.25,
+                 power_iters=25):
+        self.levels = levels
+        self.make_matvec = make_matvec
+        self.degree = degree
+        self.lmin_ratio = lmin_ratio
+        self.power_iters = power_iters
+        self.transfers = [
+            MixedTransfer(levels[k + 1]["space"], levels[k]["space"])
+            if hasattr(levels[k]["space"], "subspaces")
+            else space_transfer(levels[k + 1]["space"], levels[k]["space"])
+            for k in range(len(levels) - 1)
+        ]
+
+    # ----------------------------------------------------------- setup
+    def setup(self, params, Ae0=None, dtype=None):
+        """Returns the state pytree: per-level (Ae, blocks, lmax) and the
+        coarse (scaled) dense inverse. Pure JAX — jit/vjp-safe.
+
+        Ae0: precomputed fine-level element matrices (avoids re-assembly when
+        the caller already built them). dtype: cast params/Ae0 so the whole
+        preconditioner state is built in this precision (f32 on TPU — f64 is
+        emulated there and balloons both compile and run time; preconditioner
+        accuracy does not need f64)."""
+        if dtype is not None:
+            cast = lambda a: (a.astype(dtype)  # noqa: E731
+                              if jnp.issubdtype(a.dtype, jnp.floating) else a)
+            params = jax.tree.map(cast, params)
+            Ae0 = None if Ae0 is None else Ae0.astype(dtype)
+        state = {"Ae": [], "blocks": [], "lmax": []}
+        p = params
+        for k, lev in enumerate(self.levels):
+            Ae = Ae0 if (k == 0 and Ae0 is not None) else lev["make_Ae"](p)
+            state["Ae"].append(Ae)
+            free_k = lev["free"].astype(Ae.dtype)
+            if k < len(self.levels) - 1:
+                W = lev["space"]
+                Dinvs = block_jacobi_arrays(Ae, W, free_k)
+                state["blocks"].append(Dinvs)
+                mv = self.make_matvec(Ae, W, free_k)
+                lmax = estimate_lmax(
+                    mv, lambda v: apply_block_jacobi(W, Dinvs, v),
+                    int(W.n_dofs), Ae.dtype,
+                    iters=self.power_iters)
+                state["lmax"].append(lmax)
+                p = lev["coarsen"](p)
+            else:
+                n = int(lev["space"].n_dofs)
+                A = dense_constrained(
+                    Ae, jnp.asarray(lev["space"].dofmap_d), n, free_k)
+                s = 1.0 / jnp.sqrt(jnp.abs(jnp.diagonal(A)))
+                As = A * s[:, None] * s[None, :]
+                # TPU: f64 LuDecomposition is not implemented; the Jacobi
+                # scaling has already tamed the dynamic range, so an f32
+                # inverse is accurate enough for a preconditioner
+                if As.dtype == jnp.float64 and jax.default_backend() == "tpu":
+                    state["coarse_inv"] = jnp.linalg.inv(
+                        As.astype(jnp.float32))
+                else:
+                    state["coarse_inv"] = jnp.linalg.inv(As)
+                state["coarse_scale"] = s
+        return state
+
+    # ----------------------------------------------------- staged setup
+    def setup_staged(self, params, dtype=None):
+        """Same result as `setup`, but each level runs as its OWN jitted
+        program (host-composed). XLA compile time grows superlinearly with
+        program size — 4 small per-level programs compile several times
+        faster than one fused setup, and each caches independently in the
+        persistent compile cache."""
+        if not hasattr(self, "_level_jits"):
+            self._level_jits = []
+            import jax as _jax
+
+            for k, lev in enumerate(self.levels):
+                if k < len(self.levels) - 1:
+
+                    def fn(p, lev=lev):
+                        Ae = lev["make_Ae"](p)
+                        free_k = lev["free"].astype(Ae.dtype)
+                        W = lev["space"]
+                        Dinvs = block_jacobi_arrays(Ae, W, free_k)
+                        mv = self.make_matvec(Ae, W, free_k)
+                        lmax = estimate_lmax(
+                            mv,
+                            lambda v: apply_block_jacobi(W, Dinvs, v),
+                            int(W.n_dofs), Ae.dtype,
+                            iters=self.power_iters)
+                        return Ae, Dinvs, lmax, lev["coarsen"](p)
+                else:
+
+                    def fn(p, lev=lev):
+                        Ae = lev["make_Ae"](p)
+                        free_k = lev["free"].astype(Ae.dtype)
+                        n = int(lev["space"].n_dofs)
+                        A = dense_constrained(
+                            Ae, jnp.asarray(lev["space"].dofmap_d), n,
+                            free_k)
+                        s = 1.0 / jnp.sqrt(jnp.abs(jnp.diagonal(A)))
+                        As = A * s[:, None] * s[None, :]
+                        if (As.dtype == jnp.float64
+                                and _jax.default_backend() == "tpu"):
+                            inv = jnp.linalg.inv(As.astype(jnp.float32))
+                        else:
+                            inv = jnp.linalg.inv(As)
+                        return Ae, inv, s
+                self._level_jits.append(_jax.jit(fn))
+        if dtype is not None:
+            cast = lambda a: (a.astype(dtype)  # noqa: E731
+                              if jnp.issubdtype(a.dtype, jnp.floating) else a)
+            params = jax.tree.map(cast, params)
+        state = {"Ae": [], "blocks": [], "lmax": []}
+        p = params
+        for k in range(len(self.levels) - 1):
+            Ae, Dinvs, lmax, p = self._level_jits[k](p)
+            state["Ae"].append(Ae)
+            state["blocks"].append(Dinvs)
+            state["lmax"].append(lmax)
+        Ae, inv, s = self._level_jits[-1](p)
+        state["Ae"].append(Ae)
+        state["coarse_inv"] = inv
+        state["coarse_scale"] = s
+        return state
+
+    # ----------------------------------------------------------- apply
+    def apply(self, state, b):
+        """One V-cycle from a zero initial guess: the M^{-1} of PCG."""
+        return self._cycle(state, 0, b)
+
+    def _cycle(self, state, k, b):
+        lev = self.levels[k]
+        free = lev["free"].astype(b.dtype)
+        if k == len(self.levels) - 1:
+            s = state["coarse_scale"].astype(b.dtype)
+            return s * (state["coarse_inv"].astype(b.dtype) @ (s * b))
+        Ae = state["Ae"][k]
+        W = lev["space"]
+        mv = self.make_matvec(Ae.astype(b.dtype), W, free)
+        Dinvs = state["blocks"][k]
+        lmax = state["lmax"][k].astype(b.dtype)
+        Minv = lambda v: apply_block_jacobi(W, Dinvs, v)  # noqa: E731
+        x = jnp.zeros_like(b)
+        x = chebyshev_smooth(mv, Minv, lmax, b, x, degree=self.degree,
+                             lmin_ratio=self.lmin_ratio)
+        t = self.transfers[k]
+        r_c = t.restrict(b - mv(x)) * self.levels[k + 1]["free"].astype(
+            b.dtype)
+        e_c = self._cycle(state, k + 1, r_c)
+        x = x + free * t.prolong(e_c)
+        x = chebyshev_smooth(mv, Minv, lmax, b, x, degree=self.degree,
+                             lmin_ratio=self.lmin_ratio)
+        return x

@@ -191,3 +191,52 @@ def test_force_to_pressure_roundtrip(small_shell):
     Mq = solve_p.pde.residual(q, {"F_vec": jnp.zeros(3 * nn)})
     q_rec = solve_p(Mq)
     assert np.allclose(np.asarray(q_rec), np.asarray(q), atol=1e-8)
+
+
+def test_composite_clt_single_layer_matches_isotropic():
+    """A one-ply isotropic laminate (MID plane) must reproduce the isotropic
+    single-layer model exactly (MaterialModelComposite parity,
+    linear_shell_model.py:159-190)."""
+    from femo_alpha_tpu.models.rm_shell.material import CompositeCLT
+
+    mesh, model = _build()
+    clt = CompositeCLT.from_layup(
+        mesh.n_cells, E_layers=[E_VAL], nu_layers=[NU],
+        z_interfaces=[-H / 2, H / 2])
+    mesh2 = createRectangleMesh(20, 4, (0, 0), (L_PLATE, W_PLATE), "quad",
+                                gdim=3)
+    model_c = RMShellModel(mesh2, shell_bc_func=clamped,
+                           element_wise_material=True, record=False,
+                           composite_clt=clt)
+    out = _solve(mesh, model)
+    out_c = _solve(mesh2, model_c)
+    u = np.asarray(out.disp_solid)
+    uc = np.asarray(out_c.disp_solid)
+    assert np.allclose(u, uc, rtol=1e-9, atol=1e-14)
+    assert np.isclose(float(out.compliance), float(out_c.compliance),
+                      rtol=1e-9)
+
+
+def test_composite_clt_stiffer_laminate_deflects_less():
+    """Sandwich laminate with stiff faces must be stiffer than its core-only
+    counterpart — sanity that B/D integration orders plies correctly."""
+    from femo_alpha_tpu.models.rm_shell.material import CompositeCLT
+
+    mesh2 = createRectangleMesh(20, 4, (0, 0), (L_PLATE, W_PLATE), "quad",
+                                gdim=3)
+    z = [-H / 2, -H / 4, H / 4, H / 2]
+    soft = CompositeCLT.from_layup(
+        mesh2.n_cells, [E_VAL / 10, E_VAL / 10, E_VAL / 10],
+        [NU, NU, NU], z)
+    sandwich = CompositeCLT.from_layup(
+        mesh2.n_cells, [E_VAL, E_VAL / 10, E_VAL], [NU, NU, NU], z)
+    tips = {}
+    for name, clt in [("soft", soft), ("sandwich", sandwich)]:
+        m = createRectangleMesh(20, 4, (0, 0), (L_PLATE, W_PLATE), "quad",
+                                gdim=3)
+        model = RMShellModel(m, shell_bc_func=clamped,
+                             element_wise_material=True, record=False,
+                             composite_clt=clt)
+        out = _solve(m, model)
+        tips[name] = float(jnp.max(jnp.abs(out.disp_solid)))
+    assert tips["sandwich"] < 0.25 * tips["soft"]
