@@ -86,12 +86,19 @@ class ImplicitPDE:
             )
         else:
             extra_lin = None
+        opts = dict(self.solver_opts)
+        # precond_factory(u, params) -> M (v -> M^{-1} v): lets models inject
+        # state-dependent preconditioners (e.g. geometric multigrid rebuilt
+        # for the current thickness field) into every fwd/adjoint solve
+        pf = opts.pop("precond_factory", None)
+        M = pf(u, params) if pf is not None else None
         return LinearSolver(
             ops,
             self.n_dofs,
             free_mask=self.free_mask,
             extra_matvec=extra_lin,
-            **self.solver_opts,
+            M=M,
+            **opts,
         )
 
     def _newton(self, params, u0):

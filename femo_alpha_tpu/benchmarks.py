@@ -30,11 +30,14 @@ import jax.numpy as jnp
 
 
 class ShellBench:
-    """mode='f64': straight f64 CG (CPU default).
-    mode='refined': f32 CG inner sweeps + f64 residual refinement
-    (TPU default — f64 compute is emulated and the fused f64 CG loop faults
-    on the experimental TPU platform plugin; mixed precision recovers f64
-    residual accuracy from fast f32 sweeps).
+    """mode='f64': straight f64 MG-CG in one fused XLA program (CPU default).
+    mode='mixed' (TPU default): f64 CG on f64-assembled fine matrices,
+    preconditioned by an all-f32 V-cycle, host-chunked (fixed-trip compiled
+    blocks + host convergence checks — the TPU plugin faults on fused f64
+    while_loops). Converges like f64 (~1e-9) at f32 preconditioner cost.
+    mode='refined': f32 CG sweeps + f64 residual-assembly refinement; floor
+    ~1e-4 relative with f32-assembled operators (f32 assembly noise in the
+    kappa-weighted sense) — kept for speed studies.
 
     precond='mg' (default): geometric multigrid V-cycle; 'jacobi': point
     Jacobi (the pre-multigrid path, kept for comparison/testing)."""

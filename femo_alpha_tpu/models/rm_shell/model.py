@@ -145,11 +145,27 @@ class RMShellModel:
         n = pde.W.n_dofs
         opts = self.solver_opts
         if opts is None:
-            opts = (
-                {"method": "dense"}
-                if n <= 6000
-                else {"method": "cg", "tol": 1e-11, "maxiter": 20 * int(n**0.5)}
-            )
+            if n <= 6000:
+                opts = {"method": "dense"}
+            else:
+                opts = {"method": "cg", "tol": 1e-11,
+                        "maxiter": 20 * int(n**0.5)}
+                # structured strong-BC meshes get geometric multigrid (the
+                # MUMPS-scale path); penalty BCs keep Jacobi — beta=1e15/h
+                # facet terms poison smoothing preconditioners
+                # (SURVEY.md §7.3)
+                if not self.PENALTY_BC and getattr(mesh, "structured",
+                                                   False):
+                    import jax as _jax
+
+                    from .mg import build_shell_mg, shell_mg_precond_factory
+
+                    sdt = (jnp.float32
+                           if _jax.default_backend() == "tpu" else None)
+                    mg = build_shell_mg(pde, self.shell_bc_func, dtype=sdt)
+                    if mg is not None:
+                        opts["precond_factory"] = shell_mg_precond_factory(
+                            mg, dtype=sdt)
 
         for name in ["thickness", "F_solid", "E", "nu", "density", "uhat"]:
             space = {

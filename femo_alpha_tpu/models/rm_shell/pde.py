@@ -108,6 +108,8 @@ class RMShellPDE:
         self.element_type = element_type
         self.rot_fam, self.rot_deg = rot_fam, rot_deg
         self.disp_deg = self.V_disp.degree
+        self.inplane_deg, self.shear_deg = inplane_deg, shear_deg
+        self.stress_deg = stress_deg
         self.W = MixedSpace(self.V_disp, self.V_rot)
         # thickness/material space (rm_shell_pde.py:37-40)
         self.VT = FunctionSpace(mesh, "DG" if element_wise_material else "P",

@@ -59,6 +59,7 @@ class LinearSolver:
         maxiter=None,
         symmetric=True,
         extra_matvec=None,
+        M=None,
     ):
         if not isinstance(ops, (list, tuple)):
             raise TypeError("ops must be a list of (Ae, dofmap) pairs")
@@ -101,7 +102,12 @@ class LinearSolver:
             self.M = None
         else:
             self._dense = None
-            self.M = self._build_jacobi() if pc == "jacobi" else None
+            # M: externally supplied preconditioner application v -> M^{-1}v
+            # (e.g. a geometric-multigrid V-cycle); falls back to Jacobi
+            if M is not None:
+                self.M = M
+            else:
+                self.M = self._build_jacobi() if pc == "jacobi" else None
         self.last_info = None
 
     def _build_jacobi(self):

@@ -278,7 +278,14 @@ class GeometricMG:
     """
 
     def __init__(self, levels, make_matvec, degree=2, lmin_ratio=0.25,
-                 power_iters=25):
+                 power_iters=25, max_coarse_dofs=30_000):
+        n_coarse = int(levels[-1]["space"].n_dofs)
+        if n_coarse > max_coarse_dofs:
+            raise ValueError(
+                f"coarsest level has {n_coarse} dofs — the dense coarse "
+                f"solve would be O(n^3); add more levels (mesh dims "
+                f"divisible by 2) or raise coarsest-cells so the hierarchy "
+                f"bottoms out below {max_coarse_dofs} dofs")
         self.levels = levels
         self.make_matvec = make_matvec
         self.degree = degree

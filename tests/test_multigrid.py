@@ -123,3 +123,38 @@ def test_hostloop_cg_matches_fused_cg():
     x2, i2 = cg_solve_hostloop(mv, b, tol=1e-12, maxiter=1000, chunk=17)
     assert bool(i2["converged"])
     assert float(jnp.linalg.norm(x1 - x2) / jnp.linalg.norm(x1)) < 1e-9
+
+
+def test_model_level_mg_precond_factory():
+    """RMShellModel wired with a multigrid precond_factory (the MUMPS-scale
+    path) must reproduce the default solver's solution."""
+    from femo_alpha_tpu.mesh import StructuredQuadMesh
+    from femo_alpha_tpu.models import RMShellModel
+    from femo_alpha_tpu.models.rm_shell.mg import (
+        build_shell_mg, shell_mg_precond_factory)
+
+    def run(use_mg):
+        m = StructuredQuadMesh(32, 8, (0, 0), (10.0, 2.0), gdim=3)
+        model = RMShellModel(m, shell_bc_func=lambda x: x[:, 0] < 1e-12,
+                             element_wise_material=True, PENALTY_BC=False)
+        if use_mg:
+            mg = build_shell_mg(model.shell_pde,
+                                lambda x: x[:, 0] < 1e-12,
+                                coarsest_cells=64)
+            assert mg is not None
+            st = model.fea.states["disp_solid"]
+            st.solver_opts = {"method": "cg", "tol": 1e-11,
+                              "precond_factory":
+                              shell_mg_precond_factory(mg)}
+        nel, nn = m.n_cells, m.n_nodes
+        p = np.zeros((nn, 3))
+        p[:, 2] = 2.0
+        return model.evaluate(
+            jnp.asarray(p), thickness=jnp.full(nel, 0.2),
+            E=jnp.full(nel, 4.32e8), nu=jnp.full(nel, 0.0),
+            density=jnp.full(nel, 1.0), is_pressure=True)
+
+    out_ref = run(False)                # n<=6000 -> dense direct
+    out_mg = run(True)
+    d = float(jnp.max(jnp.abs(out_ref.disp_solid - out_mg.disp_solid)))
+    assert d < 1e-9, d
