@@ -45,7 +45,7 @@ class ShellBench:
     def __init__(self, nx=128, ny=32, quad_deg=2, cg_tol=1e-9,
                  cg_maxiter=100_000, mode=None, refine_passes=16,
                  inner_iters=None, precond="mg", mg_degree=6,
-                 mg_lmin_ratio=0.06, coarsest_cells=256):
+                 mg_lmin_ratio=0.06, coarsest_cells=256, mg_cycle="V", mg_smoother="block_jacobi"):
         from .mesh import StructuredQuadMesh
         from .models.rm_shell.pde import RMShellPDE
         from .spaces import locate_dofs_geometric
@@ -159,7 +159,8 @@ class ShellBench:
                 nx_k, ny_k = nx_k // 2, ny_k // 2
                 _, pde_k, free_k = build_level(nx_k, ny_k)
             mg = GeometricMG(levels, constrained_mv, degree=mg_degree,
-                             lmin_ratio=mg_lmin_ratio)
+                             lmin_ratio=mg_lmin_ratio, cycle=mg_cycle,
+                             smoother=mg_smoother)
         elif pre_dtype is not None:
             _, pde32, _ = build_level(nx, ny)
             form32 = pde32.make_residual_form()

@@ -118,8 +118,10 @@ class ShardedAssembler:
 
         def matvec(x):
             def local(x, Ae, dm_l):
+                from ..assembly.assemble import cell_matvec
+
                 xc = gather_dofs(x, dm_l)
-                yc = jnp.einsum("cij,cj->ci", Ae, xc)
+                yc = cell_matvec(Ae, xc)
                 partial = jax.ops.segment_sum(
                     yc.reshape(-1), dm_l.reshape(-1), num_segments=n
                 )

@@ -1,11 +1,13 @@
-from .krylov import cg_solve, gmres_solve
+from .krylov import cg_solve, cg_solve_hostloop, gmres_solve
 from .direct import dense_from_elements, DenseSolver
 from .precond import jacobi_preconditioner, block_jacobi_preconditioner
 from .newton import newton_solve
 from .linear import LinearSolver
+from .multigrid import GeometricMG, make_space_transfer
 
 __all__ = [
     "cg_solve",
+    "cg_solve_hostloop",
     "gmres_solve",
     "dense_from_elements",
     "DenseSolver",
@@ -13,4 +15,6 @@ __all__ = [
     "block_jacobi_preconditioner",
     "newton_solve",
     "LinearSolver",
+    "GeometricMG",
+    "make_space_transfer",
 ]

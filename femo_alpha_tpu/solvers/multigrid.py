@@ -57,7 +57,9 @@ class Transfer:
         g = Xc[self.dofs_d.reshape(-1), :].reshape(
             self.dofs_d.shape + (vs,))  # (nf, ndc, vs)
         w = self.weights_d.astype(xc.dtype)
-        return jnp.einsum("fk,fkc->fc", w, g).reshape(-1)
+        # VPU sum-form, not einsum: batched tiny dots pad onto the MXU
+        # (see assembly.cell_matvec)
+        return jnp.sum(w[:, :, None] * g, axis=1).reshape(-1)
 
     def restrict(self, rf):
         vs = self.vs
@@ -69,6 +71,124 @@ class Transfer:
             contrib, self.dofs_d.reshape(-1),
             num_segments=self.n_scalar_coarse)
         return out.reshape(-1)
+
+
+def _ileave(a, b, axis):
+    """Interleave a (n+1 along axis) with b (n): [a0,b0,a1,b1,...,an]."""
+    n = b.shape[axis]
+    a_head = jax.lax.slice_in_dim(a, 0, n, axis=axis)
+    pairs = jnp.stack([a_head, b], axis=axis + 1)
+    new_shape = a.shape[:axis] + (2 * n,) + a.shape[axis + 1:]
+    flat = pairs.reshape(new_shape)
+    tail = jax.lax.slice_in_dim(a, n, n + 1, axis=axis)
+    return jnp.concatenate([flat, tail], axis=axis)
+
+
+def _sl(G, axis, start, stop=None, stride=1):
+    idx = [slice(None)] * G.ndim
+    idx[axis] = slice(start, stop, stride)
+    return G[tuple(idx)]
+
+
+def _prolong_axis(G, axis, degree):
+    """1D factor-2 prolongation along `axis` of a combined dof grid.
+
+    degree 1: grid size n+1 -> 2n+1 (vertex copy + midpoint average).
+    degree 2: combined vertex/midpoint grid 2n+1 -> 4n+1; odd fine nodes at
+    coarse-local xi = 1/4, 3/4 use the 1D quadratic basis values
+    N(1/4) = (0.375, 0.75, -0.125), N(3/4) reversed. Exact interpolation of
+    the coarse FE function — pure slicing, no gathers."""
+    if degree == 1:
+        mid = 0.5 * (_sl(G, axis, 0, -1) + _sl(G, axis, 1, None))
+        return _ileave(G, mid, axis)
+    V = _sl(G, axis, 0, None, 2)    # vertex nodes (n+1)
+    M = _sl(G, axis, 1, None, 2)    # midpoint nodes (n)
+    Vl, Vr = _sl(V, axis, 0, -1), _sl(V, axis, 1, None)
+    o1 = 0.375 * Vl + 0.75 * M - 0.125 * Vr
+    o3 = -0.125 * Vl + 0.75 * M + 0.375 * Vr
+    n = M.shape[axis]
+    quads = jnp.stack([Vl, o1, M, o3], axis=axis + 1)
+    new_shape = G.shape[:axis] + (4 * n,) + G.shape[axis + 1:]
+    flat = quads.reshape(new_shape)
+    tail = _sl(V, axis, n, n + 1)
+    return jnp.concatenate([flat, tail], axis=axis)
+
+
+class StructuredTransfer:
+    """Slice/pad-based transfer for P1/P2 spaces on nested StructuredQuadMesh
+    pairs (factor-2 refinement). Prolongation is separable 1D stencil
+    application on the combined dof grid — zero gathers, fully fusable;
+    restriction is the machine-exact adjoint via jax.linear_transpose.
+
+    ~8x faster than the gather/segment_sum Transfer on TPU (generic gathers
+    are the slowest primitive there) and embeds no index tables in the
+    compiled program."""
+
+    def __init__(self, space_c, space_f):
+        mc, mf = space_c.mesh, space_f.mesh
+        self.vs = space_c.value_size
+        self.degree = space_c.degree
+        self.nxc, self.nyc = mc.nx, mc.ny
+        self.nxf, self.nyf = mf.nx, mf.ny
+        assert self.nxf == 2 * self.nxc and self.nyf == 2 * self.nyc
+        assert space_c.family in ("P", "CG", "Lagrange", "Q")
+        assert self.degree in (1, 2)
+        self.n_c = space_c.n_dofs
+        self.n_f = space_f.n_dofs
+
+    # ---- combined-grid pack/unpack (degree 2); degree 1 is just vertices
+    def _pack(self, x, nx, ny):
+        vs = self.vs
+        if self.degree == 1:
+            return x.reshape(nx + 1, ny + 1, vs)
+        nV = (nx + 1) * (ny + 1) * vs
+        nEX = nx * (ny + 1) * vs
+        nEY = (nx + 1) * ny * vs
+        V = x[:nV].reshape(nx + 1, ny + 1, vs)
+        EX = x[nV:nV + nEX].reshape(nx, ny + 1, vs)
+        EY = x[nV + nEX:nV + nEX + nEY].reshape(nx + 1, ny, vs)
+        C = x[nV + nEX + nEY:].reshape(nx, ny, vs)
+        rows_even = _ileave(V, EY, axis=1)    # (nx+1, 2ny+1, vs)
+        rows_odd = _ileave(EX, C, axis=1)     # (nx,   2ny+1, vs)
+        return _ileave(rows_even, rows_odd, axis=0)
+
+    def _unpack(self, G, nx, ny):
+        if self.degree == 1:
+            return G.reshape(-1)
+        V = G[0::2, 0::2]
+        EY = G[0::2, 1::2]
+        EX = G[1::2, 0::2]
+        C = G[1::2, 1::2]
+        return jnp.concatenate(
+            [V.reshape(-1), EX.reshape(-1), EY.reshape(-1), C.reshape(-1)])
+
+    def prolong(self, xc):
+        G = self._pack(xc, self.nxc, self.nyc)
+        G = _prolong_axis(G, 0, self.degree)
+        G = _prolong_axis(G, 1, self.degree)
+        return self._unpack(G, self.nxf, self.nyf)
+
+    def restrict(self, rf):
+        # built per call: the transposed jaxpr may capture trace-local
+        # constants, so caching it across jit traces leaks tracers
+        proto = jax.ShapeDtypeStruct((self.n_c,), rf.dtype)
+        return jax.linear_transpose(self.prolong, proto)(rf)[0]
+
+
+def make_space_transfer(space_c, space_f):
+    """Structured slice-based transfer when available, generic gather-based
+    otherwise."""
+    try:
+        if (getattr(space_c.mesh, "structured", False)
+                and getattr(space_f.mesh, "structured", False)
+                and space_c.family in ("P", "CG", "Lagrange", "Q")
+                and space_c.degree in (1, 2)
+                and space_f.mesh.nx == 2 * space_c.mesh.nx
+                and space_f.mesh.ny == 2 * space_c.mesh.ny):
+            return StructuredTransfer(space_c, space_f)
+    except Exception:
+        pass
+    return space_transfer(space_c, space_f)
 
 
 def _structured_locate(mesh_c, pts):
@@ -105,7 +225,7 @@ class MixedTransfer:
 
     def __init__(self, W_c, W_f):
         self.subs = [
-            space_transfer(sc, sf)
+            make_space_transfer(sc, sf)
             for sc, sf in zip(W_c.subspaces, W_f.subspaces)
         ]
         self.W_c, self.W_f = W_c, W_f
@@ -201,10 +321,40 @@ def apply_block_jacobi(W, Dinvs, v):
         o_g = int(W.offsets[i])
         bs = sub.value_size
         seg = v[o_g: o_g + sub.n_dofs].reshape(-1, bs)
-        parts.append(
-            jnp.einsum("nij,nj->ni", Dinvs[i].astype(v.dtype), seg
-                       ).reshape(-1))
+        D = Dinvs[i].astype(v.dtype)
+        parts.append(jnp.sum(D * seg[:, None, :], axis=2).reshape(-1))
     return jnp.concatenate(parts)
+
+
+def schwarz_arrays(Ae, W, free):
+    """Weighted additive-Schwarz smoother over diagonal-corrected element
+    blocks: each cell's 39x39 block is the element matrix with its diagonal
+    replaced by the ASSEMBLED diagonal (pure element matrices are singular —
+    rigid-body modes), BC rows/cols eliminated, inverted in batch. Apply is
+    M v = sum_e R_e^T sqrt(w) Ahat_e^{-1} sqrt(w) R_e v with w = 1/overlap
+    count — symmetric PSD by construction, and much stronger coupling than
+    node-block Jacobi on shells (the in-plane/rotation coupling of the whole
+    element enters the solve)."""
+    nc, nd, _ = Ae.shape
+    dtype = Ae.dtype
+    fm = W.gather(free.astype(dtype))  # (nc, nd)
+    diag_g = W.scatter_add(jnp.diagonal(Ae, axis1=1, axis2=2))
+    eye = jnp.eye(nd, dtype=dtype)
+    dcell = W.gather(diag_g)  # (nc, nd) assembled diagonal per cell dof
+    Ahat = Ae * (1.0 - eye) + eye * dcell[:, :, None]
+    Ahat = Ahat * fm[:, :, None] * fm[:, None, :] + eye * (
+        1.0 - fm)[:, :, None]
+    counts = W.scatter_add(jnp.ones((nc, nd), dtype=dtype))
+    w = jnp.where(counts > 0, 1.0 / counts, 1.0)
+    sqrt_w_cell = jnp.sqrt(W.gather(w))  # (nc, nd)
+    inv = jnp.linalg.inv(Ahat)
+    return inv, sqrt_w_cell
+
+
+def apply_schwarz(W, inv, sqrt_w_cell, v):
+    vc = W.gather(v) * sqrt_w_cell.astype(v.dtype)
+    yc = jnp.sum(inv.astype(v.dtype) * vc[:, None, :], axis=2)
+    return W.scatter_add(yc * sqrt_w_cell.astype(v.dtype))
 
 
 def estimate_lmax(matvec, Minv, n, dtype, iters=25):
@@ -278,7 +428,8 @@ class GeometricMG:
     """
 
     def __init__(self, levels, make_matvec, degree=2, lmin_ratio=0.25,
-                 power_iters=25, max_coarse_dofs=30_000):
+                 power_iters=25, max_coarse_dofs=30_000, cycle="V",
+                 smoother="block_jacobi"):
         n_coarse = int(levels[-1]["space"].n_dofs)
         if n_coarse > max_coarse_dofs:
             raise ValueError(
@@ -291,10 +442,20 @@ class GeometricMG:
         self.degree = degree
         self.lmin_ratio = lmin_ratio
         self.power_iters = power_iters
+        # cycle='W': two recursive corrections per level (B2 = 2B - BAB,
+        # symmetric when B is). V-cycle rates degrade multiplicatively with
+        # level count when the two-grid rate is mediocre (thin shells); the
+        # W-cycle holds the two-grid rate at ~2x fine-level smoothing cost.
+        self.cycle = cycle
+        # smoother: 'block_jacobi' (per-node vsxvs blocks) or 'schwarz'
+        # (weighted additive Schwarz over diagonal-corrected element blocks
+        # — stronger on shells, ~element-matrix-sized extra memory)
+        self.smoother = smoother
         self.transfers = [
             MixedTransfer(levels[k + 1]["space"], levels[k]["space"])
             if hasattr(levels[k]["space"], "subspaces")
-            else space_transfer(levels[k + 1]["space"], levels[k]["space"])
+            else make_space_transfer(levels[k + 1]["space"],
+                                     levels[k]["space"])
             for k in range(len(levels) - 1)
         ]
 
@@ -321,11 +482,11 @@ class GeometricMG:
             free_k = lev["free"].astype(Ae.dtype)
             if k < len(self.levels) - 1:
                 W = lev["space"]
-                Dinvs = block_jacobi_arrays(Ae, W, free_k)
-                state["blocks"].append(Dinvs)
+                sm = self._smoother_arrays(Ae, W, free_k)
+                state["blocks"].append(sm)
                 mv = self.make_matvec(Ae, W, free_k)
                 lmax = estimate_lmax(
-                    mv, lambda v: apply_block_jacobi(W, Dinvs, v),
+                    mv, lambda v: self._smoother_apply(W, sm, v),
                     int(W.n_dofs), Ae.dtype,
                     iters=self.power_iters)
                 state["lmax"].append(lmax)
@@ -347,6 +508,16 @@ class GeometricMG:
                 state["coarse_scale"] = s
         return state
 
+    def _smoother_arrays(self, Ae, W, free):
+        if self.smoother == "schwarz":
+            return schwarz_arrays(Ae, W, free)
+        return block_jacobi_arrays(Ae, W, free)
+
+    def _smoother_apply(self, W, arrs, v):
+        if self.smoother == "schwarz":
+            return apply_schwarz(W, arrs[0], arrs[1], v)
+        return apply_block_jacobi(W, arrs, v)
+
     # ----------------------------------------------------- staged setup
     def setup_staged(self, params, dtype=None):
         """Same result as `setup`, but each level runs as its OWN jitted
@@ -365,14 +536,14 @@ class GeometricMG:
                         Ae = lev["make_Ae"](p)
                         free_k = lev["free"].astype(Ae.dtype)
                         W = lev["space"]
-                        Dinvs = block_jacobi_arrays(Ae, W, free_k)
+                        sm = self._smoother_arrays(Ae, W, free_k)
                         mv = self.make_matvec(Ae, W, free_k)
                         lmax = estimate_lmax(
                             mv,
-                            lambda v: apply_block_jacobi(W, Dinvs, v),
+                            lambda v: self._smoother_apply(W, sm, v),
                             int(W.n_dofs), Ae.dtype,
                             iters=self.power_iters)
-                        return Ae, Dinvs, lmax, lev["coarsen"](p)
+                        return Ae, sm, lmax, lev["coarsen"](p)
                 else:
 
                     def fn(p, lev=lev):
@@ -398,9 +569,9 @@ class GeometricMG:
         state = {"Ae": [], "blocks": [], "lmax": []}
         p = params
         for k in range(len(self.levels) - 1):
-            Ae, Dinvs, lmax, p = self._level_jits[k](p)
+            Ae, sm, lmax, p = self._level_jits[k](p)
             state["Ae"].append(Ae)
-            state["blocks"].append(Dinvs)
+            state["blocks"].append(sm)
             state["lmax"].append(lmax)
         Ae, inv, s = self._level_jits[-1](p)
         state["Ae"].append(Ae)
@@ -422,16 +593,21 @@ class GeometricMG:
         Ae = state["Ae"][k]
         W = lev["space"]
         mv = self.make_matvec(Ae.astype(b.dtype), W, free)
-        Dinvs = state["blocks"][k]
+        sm = state["blocks"][k]
         lmax = state["lmax"][k].astype(b.dtype)
-        Minv = lambda v: apply_block_jacobi(W, Dinvs, v)  # noqa: E731
+        Minv = lambda v: self._smoother_apply(W, sm, v)  # noqa: E731
         x = jnp.zeros_like(b)
         x = chebyshev_smooth(mv, Minv, lmax, b, x, degree=self.degree,
                              lmin_ratio=self.lmin_ratio)
         t = self.transfers[k]
-        r_c = t.restrict(b - mv(x)) * self.levels[k + 1]["free"].astype(
-            b.dtype)
+        free_c = self.levels[k + 1]["free"].astype(b.dtype)
+        r_c = t.restrict(b - mv(x)) * free_c
         e_c = self._cycle(state, k + 1, r_c)
+        if self.cycle == "W" and k + 1 < len(self.levels) - 1:
+            mv_c = self.make_matvec(
+                state["Ae"][k + 1].astype(b.dtype),
+                self.levels[k + 1]["space"], free_c)
+            e_c = e_c + self._cycle(state, k + 1, r_c - mv_c(e_c))
         x = x + free * t.prolong(e_c)
         x = chebyshev_smooth(mv, Minv, lmax, b, x, degree=self.degree,
                              lmin_ratio=self.lmin_ratio)

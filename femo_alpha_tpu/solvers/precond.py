@@ -74,7 +74,7 @@ def mixed_block_jacobi(Ae, W, free_mask=None):
         for o_g, n_sub, bs, Dinv in appliers:
             seg = v[o_g: o_g + n_sub].reshape(-1, bs)
             parts.append(
-                jnp.einsum("nij,nj->ni", Dinv, seg).reshape(-1))
+                jnp.sum(Dinv * seg[:, None, :], axis=2).reshape(-1))
         return jnp.concatenate(parts)
 
     return M
@@ -126,7 +126,9 @@ def block_jacobi_preconditioner(
 
     def M(v):
         seg = jax.lax.dynamic_slice(v, (global_offset,), (n_scalar * bs,))
-        seg = jnp.einsum("nij,nj->ni", Dinv, seg.reshape(n_scalar, bs)).reshape(-1)
+        seg = jnp.sum(
+            Dinv * seg.reshape(n_scalar, bs)[:, None, :], axis=2
+        ).reshape(-1)
         return jax.lax.dynamic_update_slice(v, seg, (global_offset,))
 
     return M

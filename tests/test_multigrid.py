@@ -18,17 +18,22 @@ from femo_alpha_tpu.mesh import StructuredQuadMesh
 from femo_alpha_tpu.spaces import FunctionSpace
 from femo_alpha_tpu.solvers.multigrid import (
     MixedTransfer,
+    StructuredTransfer,
+    make_space_transfer,
     space_transfer,
 )
 
 
+@pytest.mark.parametrize("maker", [space_transfer, make_space_transfer])
 @pytest.mark.parametrize("degree", [1, 2])
-def test_prolongation_exact_for_coarse_fields(degree):
+def test_prolongation_exact_for_coarse_fields(degree, maker):
     mesh_c = StructuredQuadMesh(4, 2, (0, 0), (10.0, 2.0), gdim=3)
     mesh_f = StructuredQuadMesh(8, 4, (0, 0), (10.0, 2.0), gdim=3)
     Vc = FunctionSpace(mesh_c, "P", degree, value_size=1)
     Vf = FunctionSpace(mesh_f, "P", degree, value_size=1)
-    t = space_transfer(Vc, Vf)
+    t = maker(Vc, Vf)
+    if maker is make_space_transfer:
+        assert isinstance(t, StructuredTransfer)
     # a polynomial of the element's degree is in both spaces -> interpolation
     # through the coarse space is exact at fine dof coordinates
     def poly(x):
@@ -59,6 +64,27 @@ def test_restriction_is_transpose_of_prolongation():
         lhs = float(jnp.vdot(yf, t.prolong(xc)))
         rhs = float(jnp.vdot(t.restrict(yf), xc))
         assert np.isclose(lhs, rhs, rtol=1e-12)
+
+
+def test_structured_transfer_matches_generic():
+    """Slice-based transfers must agree with the gather/weight-table ones to
+    machine precision (same interpolation operator, different execution)."""
+    mesh_c = StructuredQuadMesh(8, 4, (0, 0), (10.0, 2.0), gdim=3)
+    mesh_f = StructuredQuadMesh(16, 8, (0, 0), (10.0, 2.0), gdim=3)
+    rng = np.random.default_rng(3)
+    for degree, vs in [(1, 3), (2, 1), (2, 3)]:
+        Vc = FunctionSpace(mesh_c, "P", degree, value_size=vs)
+        Vf = FunctionSpace(mesh_f, "P", degree, value_size=vs)
+        tg = space_transfer(Vc, Vf)
+        ts = make_space_transfer(Vc, Vf)
+        assert isinstance(ts, StructuredTransfer)
+        xc = jnp.asarray(rng.standard_normal(Vc.n_dofs))
+        d = np.abs(np.asarray(tg.prolong(xc)) - np.asarray(ts.prolong(xc)))
+        assert d.max() < 1e-12, (degree, vs, d.max())
+        yf = jnp.asarray(rng.standard_normal(Vf.n_dofs))
+        dr = np.abs(np.asarray(tg.restrict(yf))
+                    - np.asarray(ts.restrict(yf)))
+        assert dr.max() < 1e-12, (degree, vs, dr.max())
 
 
 @pytest.fixture(scope="module")
