@@ -1,0 +1,164 @@
+"""Design-affine element-operator decomposition.
+
+For forms whose element matrices are a POLYNOMIAL in a per-cell (DG0) design
+field, e.g. the RM shell stiffness with element-wise thickness
+(linear_shell_model.py:136-157: membrane A ∝ h, shear A_s ∝ h, bending
+D ∝ h^3, drilling alpha = E h^3 — so Ae(h) = h*M1 + h^3*M3 exactly for the
+MID reference plane; BOT adds the h^2 coupling term B),
+
+    Ae(theta)[c] = sum_k theta_c**powers[k] * M_k[c],
+
+the basis matrices M_k depend only on geometry/material and are extracted
+ONCE by assembling at len(powers) probe values of theta and solving the tiny
+Vandermonde system. After that, re-assembly for a new design is two (or
+three) elementwise AXPYs over the element-matrix array — no jacfwd, no
+quadrature — which turns the per-optimizer-iteration "assemble" stage from
+the dominant cost into noise. The reference cannot do this: dolfinx
+re-runs the FFCx kernels every iteration (state_operation.py:260-296).
+
+This is a TPU-first algorithmic restructuring, not an approximation: the
+decomposition is exact (verified against direct assembly in
+tests/test_affine.py), and all dtypes/solves downstream are unchanged.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .assemble import element_matrices
+
+
+class AffineDesignOperator:
+    """Element matrices affine in powers of a scalar per-cell design field.
+
+    Parameters
+    ----------
+    form : FemForm with the design field among its params
+    u0 : linearization state (zeros for linear problems)
+    params_of : callable theta -> full params dict (theta under `key`)
+    key : name of the design field in the params dict
+    powers : exponents of the polynomial dependence, e.g. (1, 3) for the
+        MID-plane RM shell, (1, 2, 3) for BOT
+    probe_scale : magnitude of the probe values (condition the Vandermonde
+        near the expected design range)
+    chunk : cell chunk for the probe assemblies
+    dtype : dtype of the stored basis (None = form/default dtype)
+    layout : 'cells' stores the basis as (K, nc, nd, nd); 'lane' stores it
+        TRANSPOSED (K, nd, nd, nc) — pad-free on TPU (see
+        assembly.cell_matvec_T) — and `element_matrices` then returns
+        lane-major (nd, nd, nc) arrays for make_matvec_T.
+    """
+
+    def __init__(self, form, u0, params_of, key="thickness", powers=(1, 3),
+                 probe_scale=1.0, chunk=8192, dtype=None, layout="cells"):
+        self.form = form
+        self.key = key
+        self.layout = layout
+        self.powers = tuple(int(p) for p in powers)
+        K = len(self.powers)
+        nc = form.space.mesh.n_cells
+        probes = probe_scale * np.arange(1.0, K + 1.0)
+        G = np.stack([probes ** p for p in self.powers], axis=1)  # (K, K)
+        Ginv = np.linalg.inv(G)
+
+        # one jitted probe assembly reused for every probe value (identical
+        # shapes -> one compile; eager assembly would dispatch op-by-op)
+        @jax.jit
+        def probe_Ae(t):
+            p = params_of(jnp.full(nc, t, dtype=u0.dtype))
+            return element_matrices(form, u0, p, chunk=chunk)
+
+        Ae_probes = [probe_Ae(t) for t in probes]
+        basis = []
+        for k in range(K):
+            Mk = sum(Ginv[k, i] * Ae_probes[i] for i in range(K))
+            if layout == "lane":
+                Mk = jnp.moveaxis(Mk, 0, -1)  # (nd, nd, nc), pad-free
+            basis.append(Mk.astype(dtype) if dtype is not None else Mk)
+        # stacked: one fused elementwise pass in element_matrices()
+        self.basis = jnp.stack(basis)
+        self.nc = nc
+
+    def astype(self, dtype):
+        """A view of this operator with the basis cast to `dtype` (e.g. an
+        f32 copy feeding a preconditioner hierarchy)."""
+        out = object.__new__(AffineDesignOperator)
+        out.form, out.key, out.powers = self.form, self.key, self.powers
+        out.layout = self.layout
+        out.basis = self.basis.astype(dtype)
+        out.nc = self.nc
+        return out
+
+    def _coeff(self, theta):
+        th = jnp.asarray(theta).astype(self.basis.dtype)
+        return jnp.stack([th ** p for p in self.powers])  # (K, nc)
+
+    def element_matrices(self, theta):
+        """Ae(theta): (nc, nd, nd) for layout='cells', (nd, nd, nc) for
+        layout='lane'. Two/three AXPYs — jit/vjp-safe."""
+        coeff = self._coeff(theta)
+        if self.layout == "lane":
+            return jnp.einsum("kc,kijc->ijc", coeff, self.basis)
+        return jnp.einsum("kc,kcij->cij", coeff, self.basis)
+
+    def matvec(self, theta, space, x):
+        """A(theta) @ x without materializing Ae (K cell-matvec passes)."""
+        th = jnp.asarray(theta).astype(x.dtype)
+        if self.layout == "lane":
+            xcT = space.gather_T(x)
+            ycT = 0.0
+            for k, p in enumerate(self.powers):
+                Mk = self.basis[k].astype(x.dtype)
+                ycT = ycT + (th ** p)[None, :] * jnp.sum(
+                    Mk * xcT[None, :, :], axis=1)
+            return space.scatter_add_T(ycT)
+        xc = space.gather(x)
+        yc = 0.0
+        for k, p in enumerate(self.powers):
+            Mk = self.basis[k].astype(x.dtype)
+            yc = yc + (th ** p)[:, None] * jnp.sum(
+                Mk * xc[:, None, :], axis=2)
+        return space.scatter_add(yc)
+
+    def vjp_theta(self, theta, u, lam, space):
+        """lam^T dA(theta)/dtheta u per cell: the design gradient of the
+        residual A(theta) u - F (closed form — replaces the jax.vjp through a
+        full re-assembly; exact for the declared polynomial dependence)."""
+        th = jnp.asarray(theta)
+        g = jnp.zeros_like(th)
+        if self.layout == "lane":
+            ucT = space.gather_T(u).astype(self.basis.dtype)
+            lcT = space.gather_T(lam).astype(self.basis.dtype)
+            for k, p in enumerate(self.powers):
+                MuT = jnp.sum(self.basis[k] * ucT[None, :, :], axis=1)
+                lam_Mu = jnp.sum(lcT * MuT, axis=0)  # (nc,)
+                g = g + (p * th ** (p - 1)) * lam_Mu.astype(th.dtype)
+            return g
+        uc = space.gather(u).astype(self.basis.dtype)
+        lc = space.gather(lam).astype(self.basis.dtype)
+        for k, p in enumerate(self.powers):
+            Mu = jnp.sum(self.basis[k] * uc[:, None, :], axis=2)  # (nc, nd)
+            lam_Mu = jnp.sum(lc * Mu, axis=1)  # (nc,)
+            g = g + (p * th ** (p - 1)) * lam_Mu.astype(th.dtype)
+        return g
+
+    def verify(self, theta, u0, params_of, rtol=1e-9, chunk=8192):
+        """Check the decomposition against one direct assembly at `theta`.
+        Raises if the form's design dependence is not the declared
+        polynomial (e.g. CG1 nodal thickness, which is NOT per-cell
+        polynomial)."""
+        direct = element_matrices(self.form, u0, params_of(jnp.asarray(theta)),
+                                  chunk=chunk)
+        pred = self.element_matrices(theta).astype(direct.dtype)
+        if self.layout == "lane":
+            pred = jnp.moveaxis(pred, -1, 0)
+        err = float(jnp.max(jnp.abs(pred - direct)))
+        scale = float(jnp.max(jnp.abs(direct)))
+        if err > rtol * max(scale, 1e-300):
+            raise ValueError(
+                f"affine decomposition mismatch: max abs err {err:.3e} vs "
+                f"scale {scale:.3e} — design dependence is not "
+                f"polynomial with powers {self.powers}")
+        return err / max(scale, 1e-300)

@@ -45,10 +45,12 @@ class ShellBench:
     def __init__(self, nx=128, ny=32, quad_deg=2, cg_tol=1e-9,
                  cg_maxiter=100_000, mode=None, refine_passes=16,
                  inner_iters=None, precond="mg", mg_degree=6,
-                 mg_lmin_ratio=0.06, coarsest_cells=256, mg_cycle="V", mg_smoother="block_jacobi"):
+                 mg_lmin_ratio=0.06, coarsest_cells=256, mg_cycle="V",
+                 mg_smoother="block_jacobi", affine=True):
         from .mesh import StructuredQuadMesh
         from .models.rm_shell.pde import RMShellPDE
         from .spaces import locate_dofs_geometric
+        from .assembly.affine import AffineDesignOperator
         from .assembly.assemble import (
             assemble_residual,
             assemble_scalar,
@@ -110,9 +112,48 @@ class ShellBench:
         self._params_of = params_of
         self.free = free
         self.precond = precond
+        # affine design decomposition: DG0 thickness enters the stiffness
+        # polynomially (Ae = h*M1 + h^3*M3, MID plane), so extract the basis
+        # once and make per-iteration re-assembly two elementwise AXPYs (see
+        # assembly/affine.py). Exact — verified in tests/test_affine.py.
+        self.affine = bool(affine)
+        # lane-major element-matrix layout (nd, nd, nc): pad-free on TPU
+        # (see assembly.cell_matvec_T). Rides the affine path: every level's
+        # Ae then comes from an affine combine that emits lane-major
+        # directly.
+        lane = self.affine
+        self.lane_major = lane
+        from .assembly.assemble import make_matvec_T
+
+        aff64 = None
+        if self.affine:
+            aff64 = AffineDesignOperator(
+                form, u0, params_of, key="thickness", powers=(1, 3),
+                probe_scale=0.2, chunk=8192,
+                layout="lane" if lane else "cells")
+        self._aff64 = aff64
 
         def constrained_mv(Ae, space, free_mask):
-            return constrain_matvec(make_matvec(Ae, space), free_mask)
+            mv = make_matvec_T(Ae, space) if lane else make_matvec(Ae, space)
+            return constrain_matvec(mv, free_mask)
+
+        def affine_level_op(pde_k, dtype):
+            """Per-level affine basis in `dtype` (the MG hierarchy)."""
+            form_k = pde_k.make_residual_form()
+            u0_k = jnp.zeros(pde_k.W.n_dofs)
+            nel_k = pde_k.mesh.n_cells
+
+            def params_of_k(th_k):
+                return {"thickness": th_k,
+                        "E": jnp.full(nel_k, 4.32e8),
+                        "nu": jnp.zeros(nel_k),
+                        "uhat": jnp.zeros(pde_k.VU.n_dofs),
+                        "F_solid": jnp.zeros(pde_k.VF.n_dofs)}
+
+            return AffineDesignOperator(
+                form_k, u0_k, params_of_k, key="thickness", powers=(1, 3),
+                probe_scale=0.2, chunk=8192, dtype=dtype,
+                layout="lane" if lane else "cells")
 
         mg = None
         form32 = None
@@ -123,14 +164,29 @@ class ShellBench:
                 pde_k, free_k = pde, free
             else:
                 _, pde_k, free_k = build_level(nx, ny)
+            first_level = True
             while True:
                 lev = {"space": pde_k.W, "free": free_k}
                 form_k = pde_k.make_residual_form()
                 u0_k = jnp.zeros(pde_k.W.n_dofs)
 
-                def make_Ae(p, form_k=form_k, u0_k=u0_k):
-                    return element_matrices(form_k, u0_k, p, chunk=8192)
+                if self.affine:
+                    if first_level:
+                        # fine level: reuse the f64 basis, cast (one assembly
+                        # instead of two)
+                        aff_k = (aff64.astype(pre_dtype)
+                                 if pre_dtype is not None else aff64)
+                    else:
+                        aff_k = affine_level_op(pde_k, pre_dtype)
 
+                    def make_Ae(p, aff_k=aff_k):
+                        return aff_k.element_matrices(p["thickness"])
+                else:
+
+                    def make_Ae(p, form_k=form_k, u0_k=u0_k):
+                        return element_matrices(form_k, u0_k, p, chunk=8192)
+
+                first_level = False
                 lev["make_Ae"] = make_Ae
                 can_coarsen = (
                     nx_k % 2 == 0 and ny_k % 2 == 0
@@ -160,15 +216,22 @@ class ShellBench:
                 _, pde_k, free_k = build_level(nx_k, ny_k)
             mg = GeometricMG(levels, constrained_mv, degree=mg_degree,
                              lmin_ratio=mg_lmin_ratio, cycle=mg_cycle,
-                             smoother=mg_smoother)
+                             smoother=mg_smoother, lane_major=lane)
         elif pre_dtype is not None:
             _, pde32, _ = build_level(nx, ny)
             form32 = pde32.make_residual_form()
         self.mg = mg
 
+        # the load vector is independent of the design (R(0) = -load: all
+        # strain-energy gradients vanish at u=0) — assembled once
+        F_load = -assemble_residual(form, u0, params_of(self.th0))
+        self._F_load = F_load
+
         @jax.jit
         def _load_and_Ae64(th):
             p = params_of(th)
+            if aff64 is not None:
+                return F_load, aff64.element_matrices(th)
             F = -assemble_residual(form, u0, p)
             Ae64 = element_matrices(form, u0, p, chunk=8192)
             return F, Ae64
@@ -181,7 +244,9 @@ class ShellBench:
             if mg is not None:
                 state = mg.setup_staged(p, dtype=jnp.float32)
             else:
-                diag = W.scatter_add(jnp.diagonal(Ae64, axis1=1, axis2=2))
+                dg = (jnp.diagonal(Ae64, axis1=0, axis2=1) if lane
+                      else jnp.diagonal(Ae64, axis1=1, axis2=2))
+                diag = W.scatter_add(dg)
                 diag = free * diag + (1.0 - free)
                 state = {"Ae": [],
                          "dinv": jnp.where(diag != 0, 1.0 / diag, 1.0)}
@@ -192,7 +257,8 @@ class ShellBench:
         @jax.jit
         def asm(th):
             p = params_of(th)
-            F = -assemble_residual(form, u0, p)  # f64 (load vector)
+            F = F_load if aff64 is not None else -assemble_residual(
+                form, u0, p)  # f64 (load vector)
             if mode == "refined":
                 # the entire preconditioner state is f32 (f32 forms); the
                 # f64 outer-refinement residual is later computed by one f64
@@ -214,12 +280,14 @@ class ShellBench:
                     state = {"Ae": [Ae], "dinv": dinv}
                 state["th"] = th
             else:
-                Ae = element_matrices(form, u0, p, chunk=8192)
+                Ae = (aff64.element_matrices(th) if aff64 is not None
+                      else element_matrices(form, u0, p, chunk=8192))
                 if mg is not None:
                     state = mg.setup(p, Ae0=Ae)
                 else:
-                    diag = W.scatter_add(
-                        jnp.diagonal(Ae, axis1=1, axis2=2))
+                    dg = (jnp.diagonal(Ae, axis1=0, axis2=1) if lane
+                          else jnp.diagonal(Ae, axis1=1, axis2=2))
+                    diag = W.scatter_add(dg)
                     diag = free * diag + (1.0 - free)
                     dinv = jnp.where(diag != 0, 1.0 / diag, 1.0)
                     state = {"Ae": [Ae], "dinv": dinv}
@@ -358,12 +426,17 @@ class ShellBench:
             p = params_of(th)
 
             # -lam^T dR/dth (state-dependence of the residual)
-            def r_of_th(th_):
-                p2 = params_of(th_)
-                return assemble_residual(form, u, p2)
+            if aff64 is not None:
+                # closed form: R = A(th) u - F with F design-independent
+                g_r = aff64.vjp_theta(th, u, lam, W)
+            else:
 
-            _, vjp = jax.vjp(r_of_th, th)
-            (g_r,) = vjp(lam)
+                def r_of_th(th_):
+                    p2 = params_of(th_)
+                    return assemble_residual(form, u, p2)
+
+                _, vjp = jax.vjp(r_of_th, th)
+                (g_r,) = vjp(lam)
 
             # + dJ/dth direct (regularization term of the compliance)
             def J_of_th(th_):

@@ -326,6 +326,21 @@ def apply_block_jacobi(W, Dinvs, v):
     return jnp.concatenate(parts)
 
 
+def apply_block_jacobi_T(W, Dinv_Ts, v):
+    """Lane-major block-Jacobi apply: Dinv_Ts[i] is (bs, bs, n_scalar) —
+    pad-free on TPU vs the (n_scalar, bs, bs) layout whose trailing bs=3
+    pads to 128 lanes (~42x traffic inflation on every smoother hit)."""
+    parts = []
+    for i, sub in enumerate(W.subspaces):
+        o_g = int(W.offsets[i])
+        bs = sub.value_size
+        segT = v[o_g: o_g + sub.n_dofs].reshape(-1, bs).T  # (bs, ns)
+        DT = Dinv_Ts[i].astype(v.dtype)
+        yT = jnp.sum(DT * segT[None, :, :], axis=1)  # (bs, ns)
+        parts.append(yT.T.reshape(-1))
+    return jnp.concatenate(parts)
+
+
 def schwarz_arrays(Ae, W, free):
     """Weighted additive-Schwarz smoother over diagonal-corrected element
     blocks: each cell's 39x39 block is the element matrix with its diagonal
@@ -355,6 +370,14 @@ def apply_schwarz(W, inv, sqrt_w_cell, v):
     vc = W.gather(v) * sqrt_w_cell.astype(v.dtype)
     yc = jnp.sum(inv.astype(v.dtype) * vc[:, None, :], axis=2)
     return W.scatter_add(yc * sqrt_w_cell.astype(v.dtype))
+
+
+def apply_schwarz_T(W, inv_T, sqrt_w_T, v):
+    """Lane-major Schwarz apply: inv_T (nd, nd, nc), sqrt_w_T (nd, nc)."""
+    sw = sqrt_w_T.astype(v.dtype)
+    vcT = W.gather_T(v) * sw
+    ycT = jnp.sum(inv_T.astype(v.dtype) * vcT[None, :, :], axis=1)
+    return W.scatter_add_T(ycT * sw)
 
 
 def estimate_lmax(matvec, Minv, n, dtype, iters=25):
@@ -429,7 +452,7 @@ class GeometricMG:
 
     def __init__(self, levels, make_matvec, degree=2, lmin_ratio=0.25,
                  power_iters=25, max_coarse_dofs=30_000, cycle="V",
-                 smoother="block_jacobi"):
+                 smoother="block_jacobi", lane_major=False):
         n_coarse = int(levels[-1]["space"].n_dofs)
         if n_coarse > max_coarse_dofs:
             raise ValueError(
@@ -451,6 +474,11 @@ class GeometricMG:
         # (weighted additive Schwarz over diagonal-corrected element blocks
         # — stronger on shells, ~element-matrix-sized extra memory)
         self.smoother = smoother
+        # lane_major: make_Ae/make_matvec use the (nd, nd, nc) element-matrix
+        # layout (pad-free on TPU; see assembly.cell_matvec_T). Smoother
+        # SETUP transposes to cell-major internally (one relayout per
+        # setup); smoother APPLY and all matvecs stay lane-major.
+        self.lane_major = lane_major
         self.transfers = [
             MixedTransfer(levels[k + 1]["space"], levels[k]["space"])
             if hasattr(levels[k]["space"], "subspaces")
@@ -494,7 +522,8 @@ class GeometricMG:
             else:
                 n = int(lev["space"].n_dofs)
                 A = dense_constrained(
-                    Ae, jnp.asarray(lev["space"].dofmap_d), n, free_k)
+                    self._cm(Ae), jnp.asarray(lev["space"].dofmap_d), n,
+                    free_k)
                 s = 1.0 / jnp.sqrt(jnp.abs(jnp.diagonal(A)))
                 As = A * s[:, None] * s[None, :]
                 # TPU: f64 LuDecomposition is not implemented; the Jacobi
@@ -509,14 +538,30 @@ class GeometricMG:
         return state
 
     def _smoother_arrays(self, Ae, W, free):
+        Ae_cm = jnp.moveaxis(Ae, -1, 0) if self.lane_major else Ae
         if self.smoother == "schwarz":
-            return schwarz_arrays(Ae, W, free)
-        return block_jacobi_arrays(Ae, W, free)
+            inv, sw = schwarz_arrays(Ae_cm, W, free)
+            if self.lane_major:
+                return jnp.moveaxis(inv, 0, -1), sw.T
+            return inv, sw
+        out = block_jacobi_arrays(Ae_cm, W, free)
+        if self.lane_major:
+            return [jnp.moveaxis(D, 0, -1) for D in out]
+        return out
 
     def _smoother_apply(self, W, arrs, v):
         if self.smoother == "schwarz":
+            if self.lane_major:
+                return apply_schwarz_T(W, arrs[0], arrs[1], v)
             return apply_schwarz(W, arrs[0], arrs[1], v)
+        if self.lane_major:
+            return apply_block_jacobi_T(W, arrs, v)
         return apply_block_jacobi(W, arrs, v)
+
+    def _cm(self, Ae):
+        """Cell-major view of a level's element matrices (for the dense
+        coarse assembly, which is index-based)."""
+        return jnp.moveaxis(Ae, -1, 0) if self.lane_major else Ae
 
     # ----------------------------------------------------- staged setup
     def setup_staged(self, params, dtype=None):
@@ -551,8 +596,8 @@ class GeometricMG:
                         free_k = lev["free"].astype(Ae.dtype)
                         n = int(lev["space"].n_dofs)
                         A = dense_constrained(
-                            Ae, jnp.asarray(lev["space"].dofmap_d), n,
-                            free_k)
+                            self._cm(Ae), jnp.asarray(lev["space"].dofmap_d),
+                            n, free_k)
                         s = 1.0 / jnp.sqrt(jnp.abs(jnp.diagonal(A)))
                         As = A * s[:, None] * s[None, :]
                         if (As.dtype == jnp.float64

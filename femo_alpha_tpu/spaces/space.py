@@ -62,10 +62,12 @@ def _structured_layout(mesh, family, degree, vs):
 
     if family in ("P", "CG", "Lagrange", "Q") and degree == 1:
 
-        def gather(x):
+        def parts_p1(x):
             V = x.reshape(nx + 1, ny + 1, vs)
-            parts = [V[:-1, :-1], V[1:, :-1], V[1:, 1:], V[:-1, 1:]]
-            return jnp.stack(parts, axis=2).reshape(nc, 4 * vs)
+            return [V[:-1, :-1], V[1:, :-1], V[1:, 1:], V[:-1, 1:]]
+
+        def gather(x):
+            return jnp.stack(parts_p1(x), axis=2).reshape(nc, 4 * vs)
 
         def scatter(cv):
             g = cv.reshape(nx, ny, 4, vs)
@@ -77,11 +79,15 @@ def _structured_layout(mesh, family, degree, vs):
             )
             return V.reshape(-1)
 
-        return gather, scatter
+        def gather_T(x):
+            G = jnp.stack(parts_p1(x), axis=0)  # (4, nx, ny, vs)
+            return jnp.moveaxis(G, 3, 1).reshape(4 * vs, nc)
+
+        return gather, scatter, gather_T
 
     if family in ("P", "CG", "Lagrange", "Q") and degree == 2:
 
-        def gather(x):
+        def parts_p2(x):
             o1 = nV * vs
             o2 = o1 + nEX * vs
             o3 = o2 + nEY * vs
@@ -89,11 +95,13 @@ def _structured_layout(mesh, family, degree, vs):
             EX = x[o1:o2].reshape(nx, ny + 1, vs)
             EY = x[o2:o3].reshape(nx + 1, ny, vs)
             C = x[o3:].reshape(nx, ny, vs)
-            parts = [
+            return [
                 V[:-1, :-1], V[1:, :-1], V[1:, 1:], V[:-1, 1:],
                 EX[:, :-1], EY[1:, :], EX[:, 1:], EY[:-1, :], C,
             ]
-            return jnp.stack(parts, axis=2).reshape(nc, 9 * vs)
+
+        def gather(x):
+            return jnp.stack(parts_p2(x), axis=2).reshape(nc, 9 * vs)
 
         def scatter(cv):
             g = cv.reshape(nx, ny, 9, vs)
@@ -112,7 +120,11 @@ def _structured_layout(mesh, family, degree, vs):
                 [V.reshape(-1), EX.reshape(-1), EY.reshape(-1), C.reshape(-1)]
             )
 
-        return gather, scatter
+        def gather_T(x):
+            G = jnp.stack(parts_p2(x), axis=0)  # (9, nx, ny, vs)
+            return jnp.moveaxis(G, 3, 1).reshape(9 * vs, nc)
+
+        return gather, scatter, gather_T
 
     if family == "DG" and degree in (0, 1):
         nd = 1 if degree == 0 else 4
@@ -123,7 +135,10 @@ def _structured_layout(mesh, family, degree, vs):
         def scatter(cv):
             return cv.reshape(-1)
 
-        return gather, scatter
+        def gather_T(x):
+            return x.reshape(nc, nd * vs).T
+
+        return gather, scatter, gather_T
 
     return None
 
@@ -178,6 +193,30 @@ class FunctionSpace:
             self.dofmap_d.reshape(-1),
             num_segments=self.n_dofs,
         )
+
+    # ------------------------------------- lane-major gather/scatter
+    # Cell-dof data in (nd_local, nc) layout: on TPU the minor-most (lane)
+    # dim is padded to 128, so (nc, 39)-style arrays waste ~3.3x memory
+    # bandwidth while (39, nc) is pad-free. The hot solver paths (element
+    # matvec, smoothers) run in this layout; see assembly.make_matvec_T.
+    def gather_T(self, x):
+        """(n_dofs,) -> (nd_local, nc) cell-dof values (lane-major)."""
+        if self._layout is not None and len(self._layout) > 2:
+            return self._layout[2](x)
+        return self.gather(x).T
+
+    def scatter_add_T(self, cell_vals_T):
+        """(nd_local, nc) -> (n_dofs,) scatter-add (lane-major).
+
+        Machine-exact adjoint of gather_T (structured path derives it with
+        jax.linear_transpose, like solvers.multigrid.StructuredTransfer)."""
+        if self._layout is not None and len(self._layout) > 2:
+            import jax
+
+            proto = jax.ShapeDtypeStruct((self.n_dofs,), cell_vals_T.dtype)
+            return jax.linear_transpose(self._layout[2], proto)(
+                cell_vals_T)[0]
+        return self.scatter_add(cell_vals_T.T)
 
     # ------------------------------------------------------------- coords
     @property
@@ -257,6 +296,26 @@ class MixedSpace:
 
         parts = [
             s.scatter_add(cell_vals[:, self.local_slices[i]])
+            for i, s in enumerate(self.subspaces)
+        ]
+        return _jnp.concatenate(parts)
+
+    def gather_T(self, x):
+        """(n_dofs,) -> (nd_local, nc) lane-major cell-dof values."""
+        import jax.numpy as _jnp
+
+        parts = [
+            s.gather_T(x[self.offsets[i]: self.offsets[i + 1]])
+            for i, s in enumerate(self.subspaces)
+        ]
+        return _jnp.concatenate(parts, axis=0)
+
+    def scatter_add_T(self, cell_vals_T):
+        """(nd_local, nc) -> (n_dofs,) lane-major scatter-add."""
+        import jax.numpy as _jnp
+
+        parts = [
+            s.scatter_add_T(cell_vals_T[self.local_slices[i], :])
             for i, s in enumerate(self.subspaces)
         ]
         return _jnp.concatenate(parts)
