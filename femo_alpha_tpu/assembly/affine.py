@@ -63,22 +63,30 @@ class AffineDesignOperator:
         G = np.stack([probes ** p for p in self.powers], axis=1)  # (K, K)
         Ginv = np.linalg.inv(G)
 
-        # one jitted probe assembly reused for every probe value (identical
-        # shapes -> one compile; eager assembly would dispatch op-by-op)
+        # ONE jitted program for the whole basis build (probe assemblies +
+        # Vandermonde combine + layout transform + cast): a single dispatch
+        # and a single compile per level, instead of an eager-op storm —
+        # each eager op on the tunneled TPU costs ~0.35s compile + ~20ms
+        # dispatch at setup.
         @jax.jit
-        def probe_Ae(t):
-            p = params_of(jnp.full(nc, t, dtype=u0.dtype))
-            return element_matrices(form, u0, p, chunk=chunk)
+        def build_basis():
+            Ae_probes = [
+                element_matrices(
+                    form, u0,
+                    params_of(jnp.full(nc, t, dtype=u0.dtype)),
+                    chunk=chunk)
+                for t in probes
+            ]
+            basis = []
+            for k in range(K):
+                Mk = sum(Ginv[k, i] * Ae_probes[i] for i in range(K))
+                if layout == "lane":
+                    Mk = jnp.moveaxis(Mk, 0, -1)  # (nd, nd, nc), pad-free
+                basis.append(Mk.astype(dtype) if dtype is not None else Mk)
+            # stacked: one fused elementwise pass in element_matrices()
+            return jnp.stack(basis)
 
-        Ae_probes = [probe_Ae(t) for t in probes]
-        basis = []
-        for k in range(K):
-            Mk = sum(Ginv[k, i] * Ae_probes[i] for i in range(K))
-            if layout == "lane":
-                Mk = jnp.moveaxis(Mk, 0, -1)  # (nd, nd, nc), pad-free
-            basis.append(Mk.astype(dtype) if dtype is not None else Mk)
-        # stacked: one fused elementwise pass in element_matrices()
-        self.basis = jnp.stack(basis)
+        self.basis = build_basis()
         self.nc = nc
 
     def astype(self, dtype):
@@ -92,16 +100,25 @@ class AffineDesignOperator:
         return out
 
     def _coeff(self, theta):
-        th = jnp.asarray(theta).astype(self.basis.dtype)
+        return self._coeff_in(theta, self.basis.dtype)
+
+    def _coeff_in(self, theta, dtype):
+        th = jnp.asarray(theta).astype(dtype)
         return jnp.stack([th ** p for p in self.powers])  # (K, nc)
 
-    def element_matrices(self, theta):
+    def element_matrices(self, theta, basis=None):
         """Ae(theta): (nc, nd, nd) for layout='cells', (nd, nd, nc) for
-        layout='lane'. Two/three AXPYs — jit/vjp-safe."""
-        coeff = self._coeff(theta)
+        layout='lane'. Two/three AXPYs — jit/vjp-safe.
+
+        Pass `basis` (this operator's own `.basis`, or a cast of it) to
+        thread the basis through a jit boundary as a runtime ARGUMENT:
+        closing over `self.basis` embeds ~100MB constants into the compiled
+        program (XLA then constant-folds over them at compile time)."""
+        B = self.basis if basis is None else basis
+        coeff = self._coeff_in(theta, B.dtype)
         if self.layout == "lane":
-            return jnp.einsum("kc,kijc->ijc", coeff, self.basis)
-        return jnp.einsum("kc,kcij->cij", coeff, self.basis)
+            return jnp.einsum("kc,kijc->ijc", coeff, B)
+        return jnp.einsum("kc,kcij->cij", coeff, B)
 
     def matvec(self, theta, space, x):
         """A(theta) @ x without materializing Ae (K cell-matvec passes)."""
@@ -122,24 +139,26 @@ class AffineDesignOperator:
                 Mk * xc[:, None, :], axis=2)
         return space.scatter_add(yc)
 
-    def vjp_theta(self, theta, u, lam, space):
+    def vjp_theta(self, theta, u, lam, space, basis=None):
         """lam^T dA(theta)/dtheta u per cell: the design gradient of the
         residual A(theta) u - F (closed form — replaces the jax.vjp through a
-        full re-assembly; exact for the declared polynomial dependence)."""
+        full re-assembly; exact for the declared polynomial dependence).
+        `basis`: see element_matrices."""
+        B = self.basis if basis is None else basis
         th = jnp.asarray(theta)
         g = jnp.zeros_like(th)
         if self.layout == "lane":
-            ucT = space.gather_T(u).astype(self.basis.dtype)
-            lcT = space.gather_T(lam).astype(self.basis.dtype)
+            ucT = space.gather_T(u).astype(B.dtype)
+            lcT = space.gather_T(lam).astype(B.dtype)
             for k, p in enumerate(self.powers):
-                MuT = jnp.sum(self.basis[k] * ucT[None, :, :], axis=1)
+                MuT = jnp.sum(B[k] * ucT[None, :, :], axis=1)
                 lam_Mu = jnp.sum(lcT * MuT, axis=0)  # (nc,)
                 g = g + (p * th ** (p - 1)) * lam_Mu.astype(th.dtype)
             return g
-        uc = space.gather(u).astype(self.basis.dtype)
-        lc = space.gather(lam).astype(self.basis.dtype)
+        uc = space.gather(u).astype(B.dtype)
+        lc = space.gather(lam).astype(B.dtype)
         for k, p in enumerate(self.powers):
-            Mu = jnp.sum(self.basis[k] * uc[:, None, :], axis=2)  # (nc, nd)
+            Mu = jnp.sum(B[k] * uc[:, None, :], axis=2)  # (nc, nd)
             lam_Mu = jnp.sum(lc * Mu, axis=1)  # (nc,)
             g = g + (p * th ** (p - 1)) * lam_Mu.astype(th.dtype)
         return g

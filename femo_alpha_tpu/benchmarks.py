@@ -46,7 +46,7 @@ class ShellBench:
                  cg_maxiter=100_000, mode=None, refine_passes=16,
                  inner_iters=None, precond="mg", mg_degree=6,
                  mg_lmin_ratio=0.06, coarsest_cells=256, mg_cycle="V",
-                 mg_smoother="block_jacobi", affine=True):
+                 mg_smoother="block_jacobi", affine=True, lane_major=None):
         from .mesh import StructuredQuadMesh
         from .models.rm_shell.pde import RMShellPDE
         from .spaces import locate_dofs_geometric
@@ -118,10 +118,14 @@ class ShellBench:
         # assembly/affine.py). Exact — verified in tests/test_affine.py.
         self.affine = bool(affine)
         # lane-major element-matrix layout (nd, nd, nc): pad-free on TPU
-        # (see assembly.cell_matvec_T). Rides the affine path: every level's
+        # (the (nc, 39, 39) layout pads 39 -> 128 lanes, ~3.3x HBM traffic),
+        # but cell-major is the cache-friendly layout on CPU — so the
+        # default is backend-dependent. Rides the affine path: every level's
         # Ae then comes from an affine combine that emits lane-major
         # directly.
-        lane = self.affine
+        if lane_major is None:
+            lane_major = jax.default_backend() == "tpu"
+        lane = self.affine and bool(lane_major)
         self.lane_major = lane
         from .assembly.assemble import make_matvec_T
 
@@ -157,6 +161,7 @@ class ShellBench:
 
         mg = None
         form32 = None
+        mg_bases = []
         if precond == "mg":
             levels = []
             nx_k, ny_k = nx, ny
@@ -178,9 +183,14 @@ class ShellBench:
                                  if pre_dtype is not None else aff64)
                     else:
                         aff_k = affine_level_op(pde_k, pre_dtype)
+                    mg_bases.append(aff_k.basis)
 
+                    # basis arrives via p["_affine_basis"] (runtime arg
+                    # threaded by GeometricMG.setup/setup_staged) — closing
+                    # over aff_k.basis would embed it as a program constant
                     def make_Ae(p, aff_k=aff_k):
-                        return aff_k.element_matrices(p["thickness"])
+                        return aff_k.element_matrices(
+                            p["thickness"], basis=p.get("_affine_basis"))
                 else:
 
                     def make_Ae(p, form_k=form_k, u0_k=u0_k):
@@ -221,17 +231,26 @@ class ShellBench:
             _, pde32, _ = build_level(nx, ny)
             form32 = pde32.make_residual_form()
         self.mg = mg
+        # per-level affine bases + the f64 fine basis: passed to every jit
+        # as ARGUMENTS (program constants would be constant-folded at
+        # compile time and bloat every cache entry by ~100MB)
+        mg_bases = tuple(mg_bases) if (self.affine and mg_bases) else None
+        self._mg_bases = mg_bases
+        basis64 = aff64.basis if aff64 is not None else None
+        self._basis64 = basis64
 
         # the load vector is independent of the design (R(0) = -load: all
-        # strain-energy gradients vanish at u=0) — assembled once
-        F_load = -assemble_residual(form, u0, params_of(self.th0))
+        # strain-energy gradients vanish at u=0) — assembled once (one
+        # jitted dispatch; eager assembly would compile op-by-op at setup)
+        F_load = jax.jit(
+            lambda: -assemble_residual(form, u0, params_of(self.th0)))()
         self._F_load = F_load
 
         @jax.jit
-        def _load_and_Ae64(th):
+        def _load_and_Ae64(th, b64):
             p = params_of(th)
             if aff64 is not None:
-                return F_load, aff64.element_matrices(th)
+                return F_load, aff64.element_matrices(th, basis=b64)
             F = -assemble_residual(form, u0, p)
             Ae64 = element_matrices(form, u0, p, chunk=8192)
             return F, Ae64
@@ -239,10 +258,11 @@ class ShellBench:
         def asm_mixed(th):
             # host-composed: per-level jits (setup_staged) compile several
             # times faster than one fused setup program
-            F, Ae64 = _load_and_Ae64(th)
+            F, Ae64 = _load_and_Ae64(th, basis64)
             p = params_of(th)
             if mg is not None:
-                state = mg.setup_staged(p, dtype=jnp.float32)
+                state = mg.setup_staged(p, dtype=jnp.float32,
+                                        bases=mg_bases)
             else:
                 dg = (jnp.diagonal(Ae64, axis1=0, axis2=1) if lane
                       else jnp.diagonal(Ae64, axis1=1, axis2=2))
@@ -255,7 +275,7 @@ class ShellBench:
             return state, F
 
         @jax.jit
-        def asm(th):
+        def asm(th, b64, bases_k):
             p = params_of(th)
             F = F_load if aff64 is not None else -assemble_residual(
                 form, u0, p)  # f64 (load vector)
@@ -265,7 +285,7 @@ class ShellBench:
                 # residual ASSEMBLY per pass — no f64 element matrices at all
                 # (f64 is emulated on TPU: they cost ~100x in compile time)
                 if mg is not None:
-                    state = mg.setup(p, dtype=jnp.float32)
+                    state = mg.setup(p, dtype=jnp.float32, bases=bases_k)
                 else:
                     p32 = jax.tree.map(
                         lambda a: a.astype(jnp.float32)
@@ -280,10 +300,11 @@ class ShellBench:
                     state = {"Ae": [Ae], "dinv": dinv}
                 state["th"] = th
             else:
-                Ae = (aff64.element_matrices(th) if aff64 is not None
+                Ae = (aff64.element_matrices(th, basis=b64)
+                      if aff64 is not None
                       else element_matrices(form, u0, p, chunk=8192))
                 if mg is not None:
-                    state = mg.setup(p, Ae0=Ae)
+                    state = mg.setup(p, Ae0=Ae, bases=bases_k)
                 else:
                     dg = (jnp.diagonal(Ae, axis1=0, axis2=1) if lane
                           else jnp.diagonal(Ae, axis1=1, axis2=2))
@@ -422,13 +443,13 @@ class ShellBench:
             return val, gu
 
         @jax.jit
-        def grad_theta(u, lam, th):
+        def grad_theta(u, lam, th, b64):
             p = params_of(th)
 
             # -lam^T dR/dth (state-dependence of the residual)
             if aff64 is not None:
                 # closed form: R = A(th) u - F with F design-independent
-                g_r = aff64.vjp_theta(th, u, lam, W)
+                g_r = aff64.vjp_theta(th, u, lam, W, basis=b64)
             else:
 
                 def r_of_th(th_):
@@ -446,10 +467,11 @@ class ShellBench:
             g_j = jax.grad(J_of_th)(th)
             return g_j - g_r
 
-        self.asm = asm_mixed if mode == "mixed" else asm
+        self.asm = (asm_mixed if mode == "mixed"
+                    else (lambda th: asm(th, basis64, mg_bases)))
         self.solve = solve
         self.objective_and_gu = objective_and_gu
-        self.grad_theta = grad_theta
+        self.grad_theta = lambda u, lam, th: grad_theta(u, lam, th, basis64)
 
     def forward_adjoint(self, th):
         """One optimizer-iteration equivalent. Returns dict of results."""

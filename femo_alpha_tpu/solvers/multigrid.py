@@ -488,7 +488,7 @@ class GeometricMG:
         ]
 
     # ----------------------------------------------------------- setup
-    def setup(self, params, Ae0=None, dtype=None):
+    def setup(self, params, Ae0=None, dtype=None, bases=None):
         """Returns the state pytree: per-level (Ae, blocks, lmax) and the
         coarse (scaled) dense inverse. Pure JAX — jit/vjp-safe.
 
@@ -496,7 +496,10 @@ class GeometricMG:
         the caller already built them). dtype: cast params/Ae0 so the whole
         preconditioner state is built in this precision (f32 on TPU — f64 is
         emulated there and balloons both compile and run time; preconditioner
-        accuracy does not need f64)."""
+        accuracy does not need f64). bases: per-level affine basis arrays,
+        injected as `p["_affine_basis"]` for each level's make_Ae — threads
+        them through jit boundaries as runtime args instead of ~100MB
+        program constants (see assembly.affine)."""
         if dtype is not None:
             cast = lambda a: (a.astype(dtype)  # noqa: E731
                               if jnp.issubdtype(a.dtype, jnp.floating) else a)
@@ -505,7 +508,8 @@ class GeometricMG:
         state = {"Ae": [], "blocks": [], "lmax": []}
         p = params
         for k, lev in enumerate(self.levels):
-            Ae = Ae0 if (k == 0 and Ae0 is not None) else lev["make_Ae"](p)
+            pk = p if bases is None else {**p, "_affine_basis": bases[k]}
+            Ae = Ae0 if (k == 0 and Ae0 is not None) else lev["make_Ae"](pk)
             state["Ae"].append(Ae)
             free_k = lev["free"].astype(Ae.dtype)
             if k < len(self.levels) - 1:
@@ -564,12 +568,13 @@ class GeometricMG:
         return jnp.moveaxis(Ae, -1, 0) if self.lane_major else Ae
 
     # ----------------------------------------------------- staged setup
-    def setup_staged(self, params, dtype=None):
+    def setup_staged(self, params, dtype=None, bases=None):
         """Same result as `setup`, but each level runs as its OWN jitted
         program (host-composed). XLA compile time grows superlinearly with
         program size — 4 small per-level programs compile several times
         faster than one fused setup, and each caches independently in the
-        persistent compile cache."""
+        persistent compile cache. bases: see `setup` (injected host-side
+        before each level's jit, so it is a runtime argument there)."""
         if not hasattr(self, "_level_jits"):
             self._level_jits = []
             import jax as _jax
@@ -614,11 +619,13 @@ class GeometricMG:
         state = {"Ae": [], "blocks": [], "lmax": []}
         p = params
         for k in range(len(self.levels) - 1):
-            Ae, sm, lmax, p = self._level_jits[k](p)
+            pk = p if bases is None else {**p, "_affine_basis": bases[k]}
+            Ae, sm, lmax, p = self._level_jits[k](pk)
             state["Ae"].append(Ae)
             state["blocks"].append(sm)
             state["lmax"].append(lmax)
-        Ae, inv, s = self._level_jits[-1](p)
+        pk = p if bases is None else {**p, "_affine_basis": bases[-1]}
+        Ae, inv, s = self._level_jits[-1](pk)
         state["Ae"].append(Ae)
         state["coarse_inv"] = inv
         state["coarse_scale"] = s

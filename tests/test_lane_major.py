@@ -102,7 +102,9 @@ def test_lane_major_smoother_apply(smoother):
 def test_bench_lane_major_matches_cell_major():
     kw = dict(nx=16, ny=8, cg_tol=1e-11, mode="f64", precond="mg",
               coarsest_cells=32)
-    b_ln = ShellBench(affine=True, **kw)   # affine rides lane-major
+    # lane_major defaults to backend=="tpu"; force it on to test the
+    # lane-major code path on the CPU test platform
+    b_ln = ShellBench(affine=True, lane_major=True, **kw)
     b_cm = ShellBench(affine=False, **kw)  # direct assembly, cell-major
     assert b_ln.lane_major and not b_cm.lane_major
     th = b_ln.th0 * (1.0 + 0.1 * jnp.cos(jnp.arange(b_ln.mesh.n_cells)))
