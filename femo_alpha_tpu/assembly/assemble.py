@@ -214,10 +214,23 @@ def cell_matvec_T(Ae_T, xc_T):
 def make_matvec_T(Ae_T, space):
     """Matrix-free operator x -> A@x from LANE-MAJOR element matrices
     (nd, nd, nc). Uses the space's lane-major gather/scatter (structured
-    meshes: slice gathers + linear_transpose pad-add scatters)."""
+    meshes: slice gathers + linear_transpose pad-add scatters).
+
+    On TPU with f32 data the per-cell contraction runs as a Pallas kernel
+    (pallas_kernels.cell_matvec_T_pallas) — XLA's fused form is ~9x off the
+    HBM bandwidth bound for this op. Solver-facing only (the Pallas path
+    has no AD rules); adjoints never differentiate through it (IFT adjoint
+    solves use the same symmetric operator directly)."""
+    from .pallas_kernels import cell_matvec_T_pallas, use_pallas_matvec
 
     def matvec(x):
-        return space.scatter_add_T(cell_matvec_T(Ae_T, space.gather_T(x)))
+        xcT = space.gather_T(x)
+        bc = use_pallas_matvec(Ae_T, xcT)
+        if bc is not None:
+            ycT = cell_matvec_T_pallas(Ae_T, xcT, bc)
+        else:
+            ycT = cell_matvec_T(Ae_T, xcT)
+        return space.scatter_add_T(ycT)
 
     return matvec
 

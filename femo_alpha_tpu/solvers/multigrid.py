@@ -373,10 +373,22 @@ def apply_schwarz(W, inv, sqrt_w_cell, v):
 
 
 def apply_schwarz_T(W, inv_T, sqrt_w_T, v):
-    """Lane-major Schwarz apply: inv_T (nd, nd, nc), sqrt_w_T (nd, nc)."""
+    """Lane-major Schwarz apply: inv_T (nd, nd, nc), sqrt_w_T (nd, nc).
+    Same contraction shape as the element matvec — uses the Pallas kernel
+    on TPU (see assembly.pallas_kernels)."""
+    from ..assembly.pallas_kernels import (
+        cell_matvec_T_pallas,
+        use_pallas_matvec,
+    )
+
     sw = sqrt_w_T.astype(v.dtype)
     vcT = W.gather_T(v) * sw
-    ycT = jnp.sum(inv_T.astype(v.dtype) * vcT[None, :, :], axis=1)
+    inv_T = inv_T.astype(v.dtype)
+    bc = use_pallas_matvec(inv_T, vcT)
+    if bc is not None:
+        ycT = cell_matvec_T_pallas(inv_T, vcT, bc)
+    else:
+        ycT = jnp.sum(inv_T * vcT[None, :, :], axis=1)
     return W.scatter_add_T(ycT * sw)
 
 
@@ -648,8 +660,9 @@ class GeometricMG:
         sm = state["blocks"][k]
         lmax = state["lmax"][k].astype(b.dtype)
         Minv = lambda v: self._smoother_apply(W, sm, v)  # noqa: E731
+        deg = self._degree_at(k)
         x = jnp.zeros_like(b)
-        x = chebyshev_smooth(mv, Minv, lmax, b, x, degree=self.degree,
+        x = chebyshev_smooth(mv, Minv, lmax, b, x, degree=deg,
                              lmin_ratio=self.lmin_ratio)
         t = self.transfers[k]
         free_c = self.levels[k + 1]["free"].astype(b.dtype)
@@ -661,6 +674,16 @@ class GeometricMG:
                 self.levels[k + 1]["space"], free_c)
             e_c = e_c + self._cycle(state, k + 1, r_c - mv_c(e_c))
         x = x + free * t.prolong(e_c)
-        x = chebyshev_smooth(mv, Minv, lmax, b, x, degree=self.degree,
+        x = chebyshev_smooth(mv, Minv, lmax, b, x, degree=deg,
                              lmin_ratio=self.lmin_ratio)
         return x
+
+    def _degree_at(self, k):
+        """Chebyshev degree for level k: `degree` may be an int (uniform) or
+        a per-level sequence (fine -> coarse; shorter sequences repeat the
+        last entry). The fine level's matvecs carry nearly all the HBM
+        traffic of a cycle, so a low fine degree with higher coarse degrees
+        trades iteration count against per-cycle bandwidth."""
+        if isinstance(self.degree, (list, tuple)):
+            return self.degree[min(k, len(self.degree) - 1)]
+        return self.degree
