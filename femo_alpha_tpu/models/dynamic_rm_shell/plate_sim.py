@@ -59,6 +59,8 @@ class PlateSim:
         g_factor=None,
         quad_deg=3,
         solver_method=None,
+        inner_iters=None,
+        mg_coarsest_cells=64,
     ):
         self.mesh = mesh
         self.E, self.nu, self.rho = E, nu, rho
@@ -85,6 +87,7 @@ class PlateSim:
         self.num_var = self.W_t.n_dofs
 
         bc_func = custom_bc_func or _default_bc
+        self.bc_func = bc_func
         d1 = locate_dofs_geometric(self.pde.V_disp, bc_func)
         d2 = locate_dofs_geometric(self.pde.V_rot, bc_func)
         dofs = np.concatenate([d1, d2 + self.pde.V_disp.n_dofs])
@@ -102,9 +105,32 @@ class PlateSim:
         self._nu_field = jnp.full(nT, float(nu))
 
         n = self.fe_dofs
+        on_tpu = jax.default_backend() == "tpu"
+        self.mg = None
         if solver_method is None:
-            solver_method = "dense" if n <= 8000 else "cg"
+            if on_tpu:
+                # TPU: f64 Cholesky is not implemented and the plugin
+                # faults on fused f64 while_loops, so the per-step solve is
+                # MG-preconditioned fixed-trip CG (geometric hierarchy when
+                # the mesh supports it, Jacobi otherwise)
+                solver_method = "mg"
+            else:
+                solver_method = "dense" if n <= 8000 else "cg"
+        if solver_method == "mg":
+            from .mg import build_platesim_mg
+
+            self.mg = build_platesim_mg(
+                self, coarsest_cells=mg_coarsest_cells,
+                dtype=jnp.float32 if on_tpu else None)
+            if self.mg is None:  # mesh not coarsenable
+                solver_method = "dense" if (n <= 8000 and not on_tpu) \
+                    else "cg"
         self.solver_method = solver_method
+        # fixed-trip inner CG budget (chunked fori_loop, frozen once
+        # converged): REQUIRED on TPU (while_loop fault), optional elsewhere
+        if inner_iters is None and on_tpu:
+            inner_iters = 96 if self.mg is not None else 1024
+        self.inner_iters = inner_iters
 
         # mutable state (parity with update_t/update_f_history)
         self.t_array = jnp.full(nT, 0.1)
@@ -226,26 +252,58 @@ class PlateSim:
             A = apply_bc_dense(
                 dense_from_elements(jax.lax.stop_gradient(Ae), dm, n), free
             )
-            chol = jax.scipy.linalg.cho_factor(A)  # SPD; f64-safe on TPU
+            chol = jax.scipy.linalg.cho_factor(A)  # SPD (CPU path; TPU has
+            # no f64 Cholesky — see __init__ solver_method resolution)
 
             def inner_solve(mv, b):
                 return jax.scipy.linalg.cho_solve(chol, b)
         else:
-            # Jacobi-preconditioned CG; the preconditioner uses
-            # stop_gradient'd diagonals (solver internals need no AD)
-            diag = jnp.zeros(n)
-            Ae_sg = jax.lax.stop_gradient((2.0 / dt**2) * Me + 0.5 * Ke)
-            from ...assembly.assemble import scatter_add
+            # preconditioned CG; preconditioner built from stop_gradient'd
+            # matrices (solver internals need no AD)
+            if self.mg is not None:
+                # V-cycle over the step operator (2/dt^2)M + K/2 — one
+                # hierarchy setup per simulate(), reused by every step
+                p_sg = {"thickness": jax.lax.stop_gradient(t_arr)}
+                state = self.mg.setup(p_sg)
+                sdt = state["Ae"][0].dtype
 
-            diag = self.W.scatter_add(
-                jnp.diagonal(Ae_sg, axis1=1, axis2=2))
-            diag = free * diag + (1.0 - free)
-            inv = jnp.where(diag != 0, 1.0 / diag, 1.0)
+                def Minv(v):
+                    return self.mg.apply(state, v.astype(sdt)).astype(
+                        v.dtype)
+            else:
+                Ae_sg = jax.lax.stop_gradient(
+                    (2.0 / dt**2) * Me + 0.5 * Ke)
+                diag = self.W.scatter_add(
+                    jnp.diagonal(Ae_sg, axis1=1, axis2=2))
+                diag = free * diag + (1.0 - free)
+                inv = jnp.where(diag != 0, 1.0 / diag, 1.0)
 
-            def inner_solve(mv, b):
-                x, _ = cg_solve(mv, b, M=lambda v: inv * v, tol=1e-11,
-                                maxiter=100 * int(n**0.5))
-                return x
+                def Minv(v):
+                    return inv * v
+
+            if self.inner_iters is not None:
+                # fixed-trip chunked CG (fori_loop, frozen once converged):
+                # the TPU plugin faults on fused f64 while_loops, and a
+                # lax.scan body cannot host-chunk — so the trip count is
+                # static and convergence freezes the updates
+                from ...solvers.krylov import cg_chunk_iterations
+
+                iters = int(self.inner_iters)
+
+                def inner_solve(mv, b):
+                    target = 1e-11 * jnp.linalg.norm(b)
+                    z0 = Minv(b)
+                    rz0 = jnp.vdot(b, z0)
+                    out = cg_chunk_iterations(
+                        mv, Minv, iters, jnp.zeros_like(b), b, z0, z0,
+                        rz0, target)
+                    return out[0]
+            else:
+
+                def inner_solve(mv, b):
+                    x, _ = cg_solve(mv, b, M=Minv, tol=1e-11,
+                                    maxiter=100 * int(n**0.5))
+                    return x
 
         def solve_A(b):
             return jax.lax.custom_linear_solve(

@@ -111,3 +111,42 @@ def test_svk_residual_zero_at_solution(sim):
     r = res_fn(wh[1], wh[0], jnp.zeros(sim.fe_dofs), sim.t_array, f1)
     free = np.asarray(sim.free_mask)
     assert np.abs(np.asarray(r)[free == 1.0]).max() < 1e-7
+
+
+def test_mg_and_fixed_trip_solvers_match_dense():
+    """The TPU per-step solver (geometric MG + fixed-trip chunked CG — no
+    while_loop, no f64 factorization) must reproduce the dense-Cholesky
+    trajectory, including through the adjoint."""
+    import jax
+    from femo_alpha_tpu.mesh import StructuredQuadMesh
+
+    mesh = StructuredQuadMesh(16, 8, (0, 0), (10.0, 2.0), gdim=3)
+    kw = dict(E=E_VAL, nu=NU, rho=RHO, dt=0.005, Nsteps=6,
+              element_wise_thickness=True)
+    sim_d = PlateSim(mesh, solver_method="dense", **kw)
+    sim_f = PlateSim(mesh, solver_method="mg", mg_coarsest_cells=32,
+                     inner_iters=128, **kw)
+    assert sim_f.mg is not None and len(sim_f.mg.levels) == 2
+    th = jnp.full(sim_d.num_var, H)
+    nf = sim_d.W_f.n_dofs
+    fh = jnp.zeros((7, nf)).at[:, 2::3].set(1000.0)
+    wd = sim_d.simulate(th, fh)
+    wf = sim_f.simulate(th, fh)
+    scale = float(jnp.max(jnp.abs(wd)))
+    assert float(jnp.max(jnp.abs(wf - wd))) < 1e-8 * scale
+    gd = jax.grad(lambda t: jnp.sum(sim_d.simulate(t, fh) ** 2))(th)
+    gf = jax.grad(lambda t: jnp.sum(sim_f.simulate(t, fh) ** 2))(th)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gd), rtol=1e-6)
+
+
+def test_unstructured_mesh_falls_back_cleanly():
+    """generic Mesh (createRectangleMesh) has no structured hierarchy: the
+    'mg' request must fall back to a working solver, not crash."""
+    mesh = createRectangleMesh(6, 3, (0, 0), (10, 2), "quad", gdim=3)
+    s = PlateSim(mesh, E_VAL, NU, RHO, dt=0.01, Nsteps=3,
+                 element_wise_thickness=True, solver_method="mg")
+    assert s.mg is None
+    th = jnp.full(s.num_var, H)
+    fh = jnp.zeros((4, s.W_f.n_dofs)).at[:, 2::3].set(10.0)
+    wh = s.simulate(th, fh)
+    assert np.isfinite(np.asarray(wh)).all()
