@@ -26,11 +26,25 @@ def createRectangleMesh(
     p1=(1.0, 1.0),
     cell_type: str = "quad",
     gdim: int = 2,
+    structured: bool = True,
 ) -> Mesh:
     """Structured rectangle mesh of nx*ny quads (or 2*nx*ny triangles).
 
+    For quads this returns a StructuredQuadMesh (grid-ordered dofs: cell-dof
+    gather/scatter become slices — the TPU fast path — and the geometric-MG
+    preconditioner hierarchy becomes available); pass structured=False for
+    the generic index-based Mesh. Triangles are always generic.
+
     gdim=3 embeds the mesh in 3D with z=0 (used by the shell models, which
     operate on surface meshes embedded in R^3)."""
+    if cell_type == "quad" and structured:
+        from .structured import StructuredQuadMesh
+
+        return StructuredQuadMesh(nx, ny, p0, p1, gdim=gdim)
+    return _rectangle_mesh_raw(nx, ny, p0, p1, cell_type, gdim)
+
+
+def _rectangle_mesh_raw(nx, ny, p0, p1, cell_type, gdim):
     xs = np.linspace(p0[0], p1[0], nx + 1)
     ys = np.linspace(p0[1], p1[1], ny + 1)
     X, Y = np.meshgrid(xs, ys, indexing="ij")

@@ -23,12 +23,12 @@ from __future__ import annotations
 import numpy as np
 
 from .mesh import Mesh
-from .generation import createRectangleMesh
+from .generation import _rectangle_mesh_raw
 
 
 class StructuredQuadMesh(Mesh):
     def __init__(self, nx, ny, p0=(0.0, 0.0), p1=(1.0, 1.0), gdim=2):
-        base = createRectangleMesh(nx, ny, p0, p1, "quad", gdim=gdim)
+        base = _rectangle_mesh_raw(nx, ny, p0, p1, "quad", gdim)
         super().__init__(base.coords, base.conn, "quad")
         self.nx, self.ny = nx, ny
         self.structured = True
