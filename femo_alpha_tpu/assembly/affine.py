@@ -115,10 +115,20 @@ class AffineDesignOperator:
         closing over `self.basis` embeds ~100MB constants into the compiled
         program (XLA then constant-folds over them at compile time)."""
         B = self.basis if basis is None else basis
-        coeff = self._coeff_in(theta, B.dtype)
+        th = jnp.asarray(theta).astype(B.dtype)
+        # explicit unrolled sum, NOT an einsum/dot_general: contracting the
+        # K axis via dot_general makes XLA's f64-on-TPU emulation
+        # materialize multi-GB padded pair-of-f32 temporaries (OOM at 1M
+        # dofs); K is 2-3, so the elementwise form fuses into one pass
         if self.layout == "lane":
-            return jnp.einsum("kc,kijc->ijc", coeff, B)
-        return jnp.einsum("kc,kcij->cij", coeff, B)
+            out = (th ** self.powers[0])[None, None, :] * B[0]
+            for k in range(1, len(self.powers)):
+                out = out + (th ** self.powers[k])[None, None, :] * B[k]
+            return out
+        out = (th ** self.powers[0])[:, None, None] * B[0]
+        for k in range(1, len(self.powers)):
+            out = out + (th ** self.powers[k])[:, None, None] * B[k]
+        return out
 
     def matvec(self, theta, space, x):
         """A(theta) @ x without materializing Ae (K cell-matvec passes)."""
