@@ -1,0 +1,153 @@
+"""Float-float ("double-single") arithmetic: ~2^-48 precision from f32 pairs.
+
+XLA emulates float64 on TPU in software (integer-based), which makes every
+f64 vector op in the outer CG ~100x slower than its f32 counterpart (a
+63k-dof f64 vdot costs ~1 ms on a v5e — more than the preconditioned
+matvec). A float-float representation (value = hi + lo, |lo| <= ulp(hi)/2)
+runs entirely on native VPU f32 ops with ~48-bit effective mantissa —
+enough for 1e-9-relative-residual CG on FEM systems (the reference's MUMPS
+solves are f64; the accuracy-critical quantity here is the RESIDUAL
+RECURRENCE, which float-float tracks to ~1e-14 relative).
+
+Algorithms: Knuth two-sum, Dekker split/two-prod (f32 split constant
+2^12+1 = 4097), Bailey double-single add/mul. All ops are elementwise over
+arrays and jit/vmap-safe.
+
+Status: building block + tests; wiring into the bench CG is follow-up work
+(see COVERAGE.md "Performance state").
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+
+class DF(NamedTuple):
+    """value ≈ hi + lo with non-overlapping mantissas (both f32 arrays)."""
+
+    hi: jnp.ndarray
+    lo: jnp.ndarray
+
+
+_SPLIT = jnp.float32(4097.0)  # 2^12 + 1 (f32 has 24 mantissa bits)
+
+
+def _two_sum(a, b):
+    s = a + b
+    bb = s - a
+    err = (a - (s - bb)) + (b - bb)
+    return s, err
+
+
+def _quick_two_sum(a, b):
+    # requires |a| >= |b|
+    s = a + b
+    err = b - (s - a)
+    return s, err
+
+
+def _split(a):
+    c = _SPLIT * a
+    hi = c - (c - a)
+    return hi, a - hi
+
+
+def _two_prod(a, b):
+    p = a * b
+    ah, al = _split(a)
+    bh, bl = _split(b)
+    err = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, err
+
+
+def df_from_f64(x):
+    """f64 array -> DF (hi = f32 round, lo = f32 of the remainder)."""
+    hi = x.astype(jnp.float32)
+    lo = (x - hi.astype(x.dtype)).astype(jnp.float32)
+    return DF(hi, lo)
+
+
+def df_to_f64(x: DF):
+    return x.hi.astype(jnp.float64) + x.lo.astype(jnp.float64)
+
+
+def df_zeros_like(a):
+    z = jnp.zeros_like(a, dtype=jnp.float32)
+    return DF(z, jnp.zeros_like(z))
+
+
+def df_from_f32(hi):
+    return DF(hi, jnp.zeros_like(hi))
+
+
+def df_add(x: DF, y: DF) -> DF:
+    s, e = _two_sum(x.hi, y.hi)
+    e = e + x.lo + y.lo
+    hi, lo = _quick_two_sum(s, e)
+    return DF(hi, lo)
+
+
+def df_neg(x: DF) -> DF:
+    return DF(-x.hi, -x.lo)
+
+
+def df_sub(x: DF, y: DF) -> DF:
+    return df_add(x, df_neg(y))
+
+
+def df_mul(x: DF, y: DF) -> DF:
+    p, e = _two_prod(x.hi, y.hi)
+    e = e + x.hi * y.lo + x.lo * y.hi
+    hi, lo = _quick_two_sum(p, e)
+    return DF(hi, lo)
+
+
+def df_scale(x: DF, s) -> DF:
+    """x * s with s a DF scalar (or f32 scalar broadcast)."""
+    if not isinstance(s, DF):
+        s = DF(jnp.float32(s), jnp.float32(0.0))
+    return df_mul(x, DF(jnp.broadcast_to(s.hi, x.hi.shape),
+                        jnp.broadcast_to(s.lo, x.hi.shape)))
+
+
+def df_axpy(alpha, x: DF, y: DF) -> DF:
+    """alpha*x + y (alpha a DF scalar)."""
+    return df_add(df_scale(x, alpha), y)
+
+
+def df_dot(x: DF, y: DF) -> DF:
+    """Scalar product with compensated accumulation.
+
+    Elementwise products in DF, then a blocked pairwise-style reduction:
+    sum the hi/err streams with two-sum compensation. Error O(n * 2^-48)
+    relative — ~1e-9 needs only ~2^-30."""
+    p, e = _two_prod(x.hi, y.hi)
+    e = e + x.hi * y.lo + x.lo * y.hi
+    # compensated (Neumaier) sum over the pair stream in f32 is not enough
+    # for large n; accumulate blockwise: reshape to (m, 128) lanes, sum
+    # lanes pairwise in DF, then reduce the m partials sequentially-free
+    # via sorting-free two-sum folds on log2 tree.
+    hi = p.ravel()
+    lo = e.ravel()
+    n = hi.shape[0]
+    # pad to power-of-two multiple of 2 for a binary tree fold
+    m = 1
+    while m < n:
+        m *= 2
+    pad = m - n
+    if pad:
+        hi = jnp.concatenate([hi, jnp.zeros(pad, hi.dtype)])
+        lo = jnp.concatenate([lo, jnp.zeros(pad, lo.dtype)])
+    while hi.shape[0] > 1:
+        h = hi.shape[0] // 2
+        s, err = _two_sum(hi[:h], hi[h:])
+        lo = lo[:h] + lo[h:] + err
+        hi = s
+    h, l2 = _quick_two_sum(hi[0], lo[0])
+    return DF(h, l2)
+
+
+def df_norm2(x: DF) -> DF:
+    return df_dot(x, x)
