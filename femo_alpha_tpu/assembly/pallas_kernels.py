@@ -76,8 +76,10 @@ def pick_block_cells(nd, nc, itemsize=4):
 
 
 def use_pallas_matvec(Ae_T, xc_T):
-    """True when the Pallas path applies: TPU backend, f32/bf16 data, and a
-    blockable cell count. (f64 is XLA-emulated and unsupported in Mosaic.)"""
+    """Returns the chosen cell block size (int) when the Pallas path
+    applies — TPU backend, f32/bf16 data, blockable cell count — else
+    None. Callers use the value both as the gate and as `block_cells`.
+    (f64 is XLA-emulated and unsupported in Mosaic.)"""
     if not _HAS_PALLAS:
         return None
     if jax.default_backend() != "tpu":

@@ -131,6 +131,10 @@ class ShellBench:
 
         aff64 = None
         if self.affine:
+            # powers=(1,3) is exact only for MID reference plane + DG0
+            # thickness (h and h^3 enter the CLT polynomially per cell)
+            assert pde.bot_plane is False and pde.element_wise_material, (
+                "affine=True requires MID plane + element-wise thickness")
             aff64 = AffineDesignOperator(
                 form, u0, params_of, key="thickness", powers=(1, 3),
                 probe_scale=0.2, chunk=8192,
@@ -294,6 +298,10 @@ class ShellBench:
                         W.n_dofs, jnp.float32), p32, chunk=8192)
                     diag = W.scatter_add(
                         jnp.diagonal(Ae, axis1=1, axis2=2))
+                    if lane:
+                        # constrained_mv routes lane-major through
+                        # make_matvec_T, which expects (nd, nd, nc)
+                        Ae = jnp.moveaxis(Ae, 0, -1)
                     f32m = free.astype(jnp.float32)
                     diag = f32m * diag + (1.0 - f32m)
                     dinv = jnp.where(diag != 0, 1.0 / diag, 1.0)

@@ -228,12 +228,15 @@ class PlateSim:
             {"thickness": t_arr, "density": rho_field})
 
     # ------------------------------------------------------------- simulate
-    def simulate(self, t_arr, f_history):
+    def simulate(self, t_arr, f_history, with_residuals=False):
         """Differentiable transient solve.
 
         t_arr: thickness dofs; f_history: (time_levels, n_f_dofs) nodal force
         history (row 0 unused — it is the initial condition level).
-        Returns w_history (time_levels, fe_dofs)."""
+        Returns w_history (time_levels, fe_dofs); with `with_residuals=True`
+        also returns the per-step relative linear-solve residuals
+        (time_levels-1,) so callers can assert the fixed-trip inner CG
+        actually converged in their dt/mesh/stiffness regime."""
         dt = self.dt
         n = self.fe_dofs
         Ke, Me = self._element_mats(t_arr)
@@ -327,10 +330,22 @@ class PlateSim:
             b = free * b  # zero Dirichlet rows (bc values are zero)
             w = solve_A(b)
             wdot = (2.0 / dt) * (w - w_old) - wdot_old
+            if with_residuals:
+                # one extra matvec per step: the true relative residual of
+                # the (possibly fixed-trip) linear solve — solver telemetry,
+                # not part of the differentiated computation
+                w_sg = jax.lax.stop_gradient(w)
+                b_sg = jax.lax.stop_gradient(b)
+                rrel = jnp.linalg.norm(b_sg - A_c(w_sg)) / jnp.maximum(
+                    jnp.linalg.norm(b_sg), 1e-300)
+                return (w, wdot), (w, rrel)
             return (w, wdot), w
 
-        (_, _), ws = jax.lax.scan(step, (w0, wd0), F_all[1:])
-        return jnp.concatenate([w0[None, :], ws], axis=0)
+        (_, _), out = jax.lax.scan(step, (w0, wd0), F_all[1:])
+        if with_residuals:
+            ws, rrels = out
+            return jnp.concatenate([w0[None, :], ws], axis=0), rrels
+        return jnp.concatenate([w0[None, :], out], axis=0)
 
     # ----------------------------------------------------- parity interface
     def SVK_residual(self):
@@ -360,9 +375,22 @@ class PlateSim:
         import time as _time
 
         t0 = _time.perf_counter()
-        wh = self.simulate(self.t_array, jnp.asarray(self.f_history))
+        wh, rrels = self.simulate(self.t_array, jnp.asarray(self.f_history),
+                                  with_residuals=True)
         wh = jax.block_until_ready(wh)
         self.w_history = wh
+        # per-step relative residual of the linear solves (telemetry for the
+        # fixed-trip inner CG — ADVICE r1: surface it so silent accuracy
+        # loss outside the tested dt/mesh regimes is visible)
+        self.step_residual_history = np.asarray(rrels)
+        max_rrel = float(np.max(self.step_residual_history))
+        if max_rrel > 1e-6:
+            import warnings
+
+            warnings.warn(
+                f"transient step solver: max relative residual {max_rrel:.3e}"
+                " exceeds 1e-6 — increase inner_iters or refine the"
+                " preconditioner", stacklevel=2)
         self.tip_disp_history = np.asarray(
             jax.vmap(self.tip_disp)(wh))
         if timing:

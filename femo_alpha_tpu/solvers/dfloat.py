@@ -145,7 +145,10 @@ def df_dot(x: DF, y: DF) -> DF:
         s, err = _two_sum(hi[:h], hi[h:])
         lo = lo[:h] + lo[h:] + err
         hi = s
-    h, l2 = _quick_two_sum(hi[0], lo[0])
+    # final renormalization via the magnitude-agnostic _two_sum: under heavy
+    # cancellation (sum near zero) |hi| >= |lo| can fail, which would corrupt
+    # the low word through _quick_two_sum's precondition
+    h, l2 = _two_sum(hi[0], lo[0])
     return DF(h, l2)
 
 

@@ -38,3 +38,17 @@ def test_bench_solution_physics():
     eb = 2.0 * 2.0 * 10.0**4 / (8 * 4.32e8 * (2.0 * 0.2**3 / 12))
     assert abs(tip - eb) / eb < 5e-3, (tip, eb)
     assert int(out["iters_fwd"]) > 0
+
+
+def test_bench_refined_jacobi_lane_major():
+    """ADVICE r1 (medium): mode='refined' + precond='jacobi' + lane_major
+    assembled Ae cell-major but routed it through the lane-major matvec —
+    crashed at trace time. Must now solve to the f32-refinement floor."""
+    b = ShellBench(nx=8, ny=4, mode="refined", precond="jacobi",
+                   lane_major=True, affine=True, cg_tol=1e-6,
+                   refine_passes=30, inner_iters=4000)
+    out = b.forward_adjoint(b.th0)
+    assert float(out["res_fwd"]) < 1e-5
+    tip = float(jnp.max(jnp.abs(out["u"])))
+    eb = 2.0 * 2.0 * 10.0**4 / (8 * 4.32e8 * (2.0 * 0.2**3 / 12))
+    assert abs(tip - eb) / eb < 2e-2, (tip, eb)
