@@ -151,6 +151,49 @@ def write_vtu(filename, mesh, point_data=None, cell_data=None):
         f.write("\n".join(lines))
 
 
+def write_xdmf_mesh(filename, mesh, inline=False):
+    """Standalone XDMF mesh file in the dolfinx Grid layout (the format of
+    the reference's shipped plate/pav meshes, utils_dolfinx.py:34-50).
+    inline=True embeds the data as XML text (no .h5 sidecar)."""
+    coords = np.asarray(mesh.coords, dtype=np.float64)
+    if coords.shape[1] < 3:
+        coords = np.concatenate(
+            [coords, np.zeros((len(coords), 3 - coords.shape[1]))], axis=1)
+    conn = np.asarray(mesh.conn)
+    nn, nc = mesh.n_nodes, mesh.n_cells
+    nv = conn.shape[1]
+    os.makedirs(os.path.dirname(os.path.abspath(filename)), exist_ok=True)
+    root = ET.Element("Xdmf", Version="3.0")
+    dom = ET.SubElement(root, "Domain")
+    g = ET.SubElement(dom, "Grid", Name="mesh", GridType="Uniform")
+    topo = ET.SubElement(g, "Topology",
+                         TopologyType=_XDMF_CELL[mesh.cell_type],
+                         NumberOfElements=str(nc))
+    dt = ET.SubElement(topo, "DataItem", Dimensions=f"{nc} {nv}",
+                       NumberType="Int")
+    geom = ET.SubElement(g, "Geometry", GeometryType="XYZ")
+    dg = ET.SubElement(geom, "DataItem", Dimensions=f"{nn} 3")
+    if inline:
+        dt.set("Format", "XML")
+        dt.text = "\n".join(" ".join(str(v) for v in row) for row in conn)
+        dg.set("Format", "XML")
+        dg.text = "\n".join(
+            " ".join(f"{v:.16g}" for v in row) for row in coords)
+    else:
+        import h5py
+
+        h5name = os.path.splitext(str(filename))[0] + ".h5"
+        with h5py.File(h5name, "w") as f:
+            f.create_dataset("Mesh/mesh/topology", data=conn)
+            f.create_dataset("Mesh/mesh/geometry", data=coords)
+        rel = os.path.basename(h5name)
+        dt.set("Format", "HDF")
+        dt.text = f"{rel}:/Mesh/mesh/topology"
+        dg.set("Format", "HDF")
+        dg.text = f"{rel}:/Mesh/mesh/geometry"
+    ET.ElementTree(root).write(str(filename), xml_declaration=True)
+
+
 def read_xdmf_mesh(filename):
     """Minimal XDMF mesh reader for dolfinx-written Grid files (parity with
     readFEAMesh, utils_dolfinx.py:34-50). Returns a Mesh."""
@@ -171,7 +214,7 @@ def read_xdmf_mesh(filename):
             with h5py.File(os.path.join(base, fname), "r") as f:
                 return np.asarray(f[path])
         dims = [int(x) for x in ditem.get("Dimensions").split()]
-        return np.fromstring(txt, sep=" ").reshape(dims)
+        return np.asarray(txt.split(), dtype=np.float64).reshape(dims)
 
     conn = load(topo.find("DataItem")).astype(np.int32)
     coords = load(geom.find("DataItem"))

@@ -11,8 +11,10 @@ from .generation import (
     createIntervalMesh,
     createRectangleMesh,
     createUnitSquareMesh,
+    readFEAMesh,
     reconstructFEAMesh,
 )
+from .wing import createWingShellMesh
 
 __all__ = [
     "Mesh",
@@ -21,5 +23,7 @@ __all__ = [
     "createIntervalMesh",
     "createRectangleMesh",
     "createUnitSquareMesh",
+    "createWingShellMesh",
+    "readFEAMesh",
     "reconstructFEAMesh",
 ]

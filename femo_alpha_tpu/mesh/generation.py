@@ -73,6 +73,23 @@ def createUnitSquareMesh(nx: int, ny: int, cell_type: str = "triangle") -> Mesh:
     return createRectangleMesh(nx, ny, (0, 0), (1, 1), cell_type)
 
 
+def readFEAMesh(filename, gdim: int = 3) -> Mesh:
+    """Read a mesh file by extension — parity with the reference's
+    readFEAMesh (utils_dolfinx.py:34-50: xdmf via dolfinx XDMFFile, msh via
+    meshio conversion). Supports gmsh ASCII v2.2/v4.1 (.msh) and
+    dolfinx-layout XDMF (+HDF5 or inline XML)."""
+    name = str(filename)
+    if name.endswith(".msh"):
+        from ..io.gmsh import read_msh
+
+        return read_msh(name, gdim=gdim)
+    if name.endswith(".xdmf"):
+        from ..io.xdmf import read_xdmf_mesh
+
+        return read_xdmf_mesh(name)
+    raise ValueError(f"unsupported mesh format: {name} (.msh/.xdmf)")
+
+
 def reconstructFEAMesh(nodes, connectivity, cell_type: str | None = None) -> Mesh:
     """Build a Mesh from raw node coordinates + connectivity, recording the
     external ordering for CADDEE interop (identity here since we keep the
