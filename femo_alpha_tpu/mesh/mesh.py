@@ -73,6 +73,7 @@ class Mesh:
             self.n_edges = len(uniq)
             ne_local = le.shape[0]
             self.cell_edges = cell_edges
+            self.edge_counts = counts
             # exterior facets: edges with exactly one incident cell
             ext_edge_ids = np.where(counts == 1)[0]
             is_ext_entry = np.isin(cell_edges, ext_edge_ids)
@@ -100,6 +101,30 @@ class Mesh:
     def boundary_nodes(self):
         self._build_topology()
         return np.unique(self.ext_facet_verts.ravel())
+
+    def facet_incidences(self, edge_ids):
+        """ALL (cell, local_edge) incidences of the given edge ids — 2 per
+        manifold interior edge, 3+ at non-manifold junctions (rib-stiffened
+        wings). Basis of the reference's dS '+'/'-' restrictions
+        (linear_shell_model.py:323-333)."""
+        self._build_topology()
+        mask = np.isin(self.cell_edges, np.asarray(edge_ids))
+        cells, locs = np.nonzero(mask)
+        return cells.astype(np.int32), locs.astype(np.int32)
+
+    def interior_facets(self, predicate=None):
+        """Interior edges (>= 2 incident cells); optionally only those whose
+        EVERY vertex satisfies predicate(coords (n, gdim)) -> bool — the
+        dolfinx locate_entities rule used by createCustomMeasure
+        (utils_dolfinx.py:555-565). Returns (cells, locals) incidences."""
+        self._build_topology()
+        if self.cell_type == "interval":
+            return (np.zeros(0, dtype=np.int32),) * 2
+        ids = np.where(self.edge_counts >= 2)[0]
+        if predicate is not None:
+            vmask = np.asarray(predicate(self.coords)).astype(bool)
+            ids = ids[vmask[self.edges[ids]].all(axis=1)]
+        return self.facet_incidences(ids)
 
     def facet_midpoints(self):
         """Midpoint coordinates of exterior facets (for tagging)."""

@@ -63,6 +63,7 @@ class StructuredQuadMesh(Mesh):
         # the structured edge numbering
         counts = np.zeros(self.n_edges, dtype=np.int64)
         np.add.at(counts, self.cell_edges.ravel(), 1)
+        self.edge_counts = counts
         ext_ids = np.where(counts == 1)[0]
         is_ext = np.isin(self.cell_edges, ext_ids)
         cells, locs = np.nonzero(is_ext)

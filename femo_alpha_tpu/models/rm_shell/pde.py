@@ -290,11 +290,21 @@ class RMShellPDE:
                        dtype=self.dtype, cell_consts=self._cell_consts())
 
     # ------------------------------------------------------------ penalty BC
-    def make_penalty_facet_form(self, bc_locs_func, quad_degree=4):
-        """Penalty Dirichlet facet energy on tagged exterior facets (parity:
-        penaltyResidual with g=0, beta=1e15, Nanson-transformed measure).
-        Interior tagged facets (dSS) are not yet supported."""
+    def make_penalty_facet_form(self, bc_locs_func, quad_degree=4,
+                                include_interior=True):
+        """Penalty Dirichlet facet energy on tagged facets (parity:
+        penaltyResidual with g=0, beta=1e15, Nanson-transformed measure,
+        linear_shell_model.py:323-333). Exterior facets once (ds); tagged
+        INTERIOR facets once per incident cell — C0 shared dofs make that
+        exactly the reference's ('+') + ('-') dSS pair, and non-manifold
+        junction edges (3 incident cells, rib-stiffened wings) penalize all
+        incidences. Interior tagging follows the dolfinx locate_entities
+        all-vertices rule (utils_dolfinx.py:555-565)."""
         cells, locals_ = select_facets(self.mesh, bc_locs_func)
+        if include_interior:
+            icells, ilocals = self.mesh.interior_facets(bc_locs_func)
+            cells = np.concatenate([np.asarray(cells), icells])
+            locals_ = np.concatenate([np.asarray(locals_), ilocals])
         families = [(self.V_disp.family, self.disp_deg),
                     (self.rot_fam, self.rot_deg)]
         nd2, nd1, nv = self.nd_disp, self.nd_rot, self.nv
