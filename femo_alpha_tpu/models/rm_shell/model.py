@@ -143,6 +143,14 @@ class RMShellModel:
             facet_forms.append(pde.make_penalty_facet_form(self.shell_bc_func))
 
         n = pde.W.n_dofs
+        free_mask = None
+        if not self.PENALTY_BC:
+            d1 = locate_dofs_geometric(pde.V_disp, self.shell_bc_func)
+            d2 = locate_dofs_geometric(pde.V_rot, self.shell_bc_func)
+            bc_dofs = np.concatenate([d1, d2 + pde.V_disp.n_dofs])
+            fmask = np.ones(n)
+            fmask[bc_dofs] = 0.0
+            free_mask = jnp.asarray(fmask)
         opts = self.solver_opts
         if opts is None:
             if n <= 6000:
@@ -150,10 +158,12 @@ class RMShellModel:
             else:
                 opts = {"method": "cg", "tol": 1e-11,
                         "maxiter": 20 * int(n**0.5)}
-                # structured strong-BC meshes get geometric multigrid (the
-                # MUMPS-scale path); penalty BCs keep Jacobi — beta=1e15/h
-                # facet terms poison smoothing preconditioners
-                # (SURVEY.md §7.3)
+                # structured strong-BC meshes get geometric multigrid;
+                # penalty BCs and unstructured meshes get the RCM band
+                # Cholesky (the MUMPS-parity path, solvers/band.py) —
+                # beta=1e15/h facet terms poison smoothing preconditioners,
+                # and thin-shell near-kernels defeat aggregation coarse
+                # spaces (SURVEY.md §7.3, reference utils_dolfinx.py:495)
                 if not self.PENALTY_BC and getattr(mesh, "structured",
                                                    False):
                     import jax as _jax
@@ -166,6 +176,21 @@ class RMShellModel:
                     if mg is not None:
                         opts["precond_factory"] = shell_mg_precond_factory(
                             mg, dtype=sdt)
+                if "precond_factory" not in opts:
+                    from ...solvers.band import band_precond_factory
+
+                    try:
+                        bf = band_precond_factory(
+                            pde.W, residual_form, facet_forms,
+                            free_mask=free_mask)
+                        bc_ = bf.band
+                        # memory guard: f64 assembly + f32 factor buffers
+                        mem = bc_.n_pad * (bc_.m + 1) * bc_.w * 12
+                        if mem <= 6e9:
+                            opts["precond_factory"] = bf
+                    except Exception as e:  # band setup is best-effort
+                        log(f"band precond unavailable ({e}); "
+                            "falling back to Jacobi-CG")
 
         for name in ["thickness", "F_solid", "E", "nu", "density", "uhat"]:
             space = {
@@ -182,10 +207,7 @@ class RMShellModel:
             solver_opts=opts,
         )
         if not self.PENALTY_BC:
-            d1 = locate_dofs_geometric(pde.V_disp, self.shell_bc_func)
-            d2 = locate_dofs_geometric(pde.V_rot, self.shell_bc_func)
-            dofs = np.concatenate([d1, d2 + pde.V_disp.n_dofs])
-            fea.add_strong_bc(dofs, 0.0)
+            fea.add_strong_bc(bc_dofs, 0.0)
 
         fea.add_output(
             "compliance", form=pde.compliance_form(),
@@ -263,7 +285,16 @@ class RMShellModel:
 
         def reorder(v, idx):
             v = jnp.asarray(v)
-            return v if idx is None else v[jnp.asarray(idx)]
+            if idx is None:
+                return v
+            idx = np.asarray(idx)
+            if v.ndim == 1 and v.shape[0] != idx.shape[0]:
+                # flat per-node vector (e.g. (3*nn,) forces) with a NODE
+                # index map: reorder node-major rows, not raw entries —
+                # jax's clipped gather would otherwise silently truncate
+                v = v.reshape(idx.shape[0], -1)
+                return v[jnp.asarray(idx)].reshape(-1)
+            return v[jnp.asarray(idx)]
 
         inputs = {}
         inputs["thickness"] = reorder(thickness, mat_idx).reshape(-1)

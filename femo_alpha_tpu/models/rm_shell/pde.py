@@ -561,7 +561,10 @@ class RMShellPDE:
                 wdA = pt["w"] * pt["dA"]
                 Mloc = jnp.einsum("qa,qb,q->ab", phi_o, phi_o, wdA)
                 b = jnp.einsum("qa,q,q->a", phi_o, vm, wdA)
-                return jnp.linalg.solve(Mloc, b)
+                # unrolled SPD solve: the TPU plugin has no f64 LU/Cholesky
+                from ...solvers.direct import solve_spd_small
+
+                return solve_spd_small(Mloc, b)
 
             uc = gather_dofs(jnp.asarray(u), W.dofmap_d)
             pc, axes = _gather_like(self.param_specs, params, exclude=("F_solid",))

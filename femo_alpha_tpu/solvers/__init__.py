@@ -4,6 +4,7 @@ from .precond import jacobi_preconditioner, block_jacobi_preconditioner
 from .newton import newton_solve
 from .linear import LinearSolver
 from .multigrid import GeometricMG, make_space_transfer
+from .band import BandCholPrecond, band_precond_factory
 
 __all__ = [
     "cg_solve",
@@ -17,4 +18,6 @@ __all__ = [
     "LinearSolver",
     "GeometricMG",
     "make_space_transfer",
+    "BandCholPrecond",
+    "band_precond_factory",
 ]

@@ -52,3 +52,35 @@ class DenseSolver:
         if self.spd:
             return jax.scipy.linalg.cho_solve(self.chol, b)
         return jax.scipy.linalg.lu_solve((self.lu, self.piv), b, trans=1)
+
+
+def solve_spd_small(M, b):
+    """Unrolled Cholesky solve for tiny static-size SPD systems (n <= ~6),
+    e.g. per-cell DG1 projection masses. Pure arithmetic — lowers on every
+    backend and dtype (the TPU plugin implements neither LuDecomposition nor
+    Cholesky for f64; batched tiny LAPACK calls would also serialize badly).
+    M: (..., n, n), b: (..., n)."""
+    n = M.shape[-1]
+    L = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1):
+            s = M[..., i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(s)
+            else:
+                L[i][j] = s / L[j][j]
+    y = []
+    for i in range(n):
+        s = b[..., i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y.append(s / L[i][i])
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x, axis=-1)
