@@ -22,6 +22,10 @@ import sys
 
 NX = int(os.environ.get("FEMO_BENCH_NX", "128"))
 NY = int(os.environ.get("FEMO_BENCH_NY", "32"))
+# 'library' (default): the PRODUCT path, RMShellModel.evaluate + jax.grad
+# (staged custom_vjp pipeline). 'staged': the hand-staged ShellBench twin
+# kept for comparison.
+PIPELINE = os.environ.get("FEMO_BENCH_PIPELINE", "library")
 
 
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -32,9 +36,10 @@ def run_local():
     import jax
 
     import femo_alpha_tpu  # noqa: F401
-    from femo_alpha_tpu.benchmarks import ShellBench
+    from femo_alpha_tpu.benchmarks import LibraryBench, ShellBench
 
-    b = ShellBench(nx=NX, ny=NY)
+    cls = LibraryBench if PIPELINE == "library" else ShellBench
+    b = cls(nx=NX, ny=NY)
     out = b.timed_run(
         repeats=1 if os.environ.get("FEMO_BENCH_CHILD") else 3)
     out["backend"] = jax.default_backend()
@@ -45,7 +50,8 @@ def stored_cpu_baseline():
     try:
         with open(BASELINE_FILE) as f:
             d = json.load(f)
-        if d.get("nx") == NX and d.get("ny") == NY:
+        if (d.get("nx") == NX and d.get("ny") == NY
+                and d.get("pipeline", "staged") == PIPELINE):
             return d.get("cpu_wall_s")
     except Exception:
         pass
@@ -100,6 +106,7 @@ def main():
                 try:
                     with open(BASELINE_FILE, "w") as f:
                         json.dump({"nx": NX, "ny": NY,
+                                   "pipeline": PIPELINE,
                                    "cpu_wall_s": cpu_wall}, f)
                 except OSError:
                     pass

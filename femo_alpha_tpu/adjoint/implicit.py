@@ -14,6 +14,23 @@ linearized solve uses the symmetrically masked operator
 B = f·A·f + (1-f)·I; solving B^T lam = f·g yields lam with zero entries at
 BC dofs — exactly the reference's post-adjoint zeroing
 (state_operation.py:217-218).
+
+STAGED SOLVE PATH (default): the forward and backward passes run as two
+PERSISTENT jitted programs compiled once per ImplicitPDE instance —
+eager/per-call retracing of the Krylov while_loop and preconditioner setup
+was the dominant cost of the library path (each eager `cg_solve` call
+re-traces its closures). The linearized operator state (element-matrix
+blocks + preconditioner state pytree) is passed from the forward pass to
+the adjoint through the custom_vjp residuals, so the adjoint solve REUSES
+the forward's preconditioner (the reference reuses the MUMPS factorization
+the same way, state_operation.py:212-218 / utils_dolfinx.py:520-531).
+Preconditioners participate through a split protocol:
+    prepare(params) -> aux          (host side; may use content-hash caches,
+                                     e.g. affine bases — assembly/affine.py)
+    setup_state(u, params, ops_Ae, aux) -> state   (traceable pytree)
+    apply_state(state, v) -> M^{-1} v              (traceable)
+Legacy `precond_factory(u, params) -> M` callables still work through the
+non-staged path.
 """
 
 from __future__ import annotations
@@ -54,6 +71,7 @@ class ImplicitPDE:
         solver_opts=None,
         extra_residual=None,
         facet_forms=(),
+        element_matrices_fn=None,
     ):
         self.form = form
         n = form.space.n_dofs
@@ -64,7 +82,26 @@ class ImplicitPDE:
         self.solver_opts = dict(solver_opts or {})
         self.extra_residual = extra_residual
         self.facet_forms = list(facet_forms)
-        self._solve = _build_custom_vjp_solve(self)
+        # element_matrices_fn(u, params[, basis]) -> Ae: overrides the
+        # generic jacfwd assembly of the cell operator — models wire fast
+        # paths here (e.g. the affine design decomposition Ae = h*M1+h^3*M3,
+        # assembly/affine.py: per-iteration re-assembly becomes two AXPYs)
+        self.element_matrices_fn = element_matrices_fn
+        # static op layout: fine operator + one block per facet group
+        self._op_specs = [form.space] + [
+            g["dofmap_d"] for ff in self.facet_forms for g in ff.groups
+        ]
+        pf = self.solver_opts.get("precond_factory")
+        self._pc = pf if (pf is not None and hasattr(pf, "setup_state")) \
+            else None
+        self._staged = pf is None or self._pc is not None
+        if self._staged:
+            self._aux_now = None
+            self._jit_fwd = jax.jit(self._newton_state)
+            self._jit_bwd = jax.jit(self._bwd_impl)
+            self._solve = _build_staged_vjp(self)
+        else:
+            self._solve = _build_custom_vjp_solve(self)
 
     # -------------------------------------------------- raw pieces
     def residual(self, u, params):
@@ -76,10 +113,22 @@ class ImplicitPDE:
             r = r + self.extra_residual(u, params)
         return constrain_residual(r, u, self.free_mask, self.bc_vals)
 
-    def make_solver(self, u, params) -> LinearSolver:
-        ops = [(element_matrices(self.form, u, params), self.form.space)]
+    def _assemble_ops(self, u, params, emf_basis=None):
+        """Element-matrix blocks in the static `_op_specs` layout."""
+        if self.element_matrices_fn is not None:
+            try:
+                Ae0 = self.element_matrices_fn(u, params, basis=emf_basis)
+            except TypeError:
+                Ae0 = self.element_matrices_fn(u, params)
+        else:
+            Ae0 = element_matrices(self.form, u, params)
+        ops_Ae = [Ae0]
         for ff in self.facet_forms:
-            ops.extend(ff.element_ops(u, params))
+            ops_Ae.extend(Ae for Ae, _ in ff.element_ops(u, params))
+        return ops_Ae
+
+    def _solver_from(self, ops_Ae, M_state, u, params) -> LinearSolver:
+        ops = list(zip(ops_Ae, self._op_specs))
         if self.extra_residual is not None:
             _, extra_lin = jax.linearize(
                 lambda v: self.extra_residual(v, params), u
@@ -87,11 +136,10 @@ class ImplicitPDE:
         else:
             extra_lin = None
         opts = dict(self.solver_opts)
-        # precond_factory(u, params) -> M (v -> M^{-1} v): lets models inject
-        # state-dependent preconditioners (e.g. geometric multigrid rebuilt
-        # for the current thickness field) into every fwd/adjoint solve
-        pf = opts.pop("precond_factory", None)
-        M = pf(u, params) if pf is not None else None
+        opts.pop("precond_factory", None)
+        M = None
+        if M_state is not None and self._pc is not None:
+            M = lambda v: self._pc.apply_state(M_state, v)  # noqa: E731
         return LinearSolver(
             ops,
             self.n_dofs,
@@ -101,8 +149,71 @@ class ImplicitPDE:
             **opts,
         )
 
+    def make_solver(self, u, params) -> LinearSolver:
+        """Eager one-off construction (external callers / legacy path)."""
+        opts = dict(self.solver_opts)
+        pf = opts.pop("precond_factory", None)
+        if pf is not None and hasattr(pf, "setup_state"):
+            aux = pf.prepare(params)
+            ops_Ae = self._assemble_ops(
+                u, params,
+                emf_basis=self.element_matrices_fn.prepare(params)
+                if (self.element_matrices_fn is not None
+                    and hasattr(self.element_matrices_fn, "prepare"))
+                else None)
+            M_state = pf.setup_state(u, params, ops_Ae, aux)
+            return self._solver_from(ops_Ae, M_state, u, params)
+        ops_Ae = self._assemble_ops(u, params)
+        ops = list(zip(ops_Ae, self._op_specs))
+        if self.extra_residual is not None:
+            _, extra_lin = jax.linearize(
+                lambda v: self.extra_residual(v, params), u
+            )
+        else:
+            extra_lin = None
+        M = pf(u, params) if pf is not None else None
+        return LinearSolver(
+            ops, self.n_dofs, free_mask=self.free_mask,
+            extra_matvec=extra_lin, M=M, **opts,
+        )
+
+    # -------------------------------------------------- staged pieces
+    def _newton_state(self, params, u0, aux):
+        """Fixed-iteration Newton returning (u, linearization state)."""
+        emf_basis, pc_aux = aux
+        f = self.free_mask
+        u = f * u0 + (1.0 - f) * self.bc_vals
+        ops_Ae, M_state = None, None
+        for _ in range(self.newton_iters):
+            r = self.residual(u, params)
+            ops_Ae = self._assemble_ops(u, params, emf_basis=emf_basis)
+            M_state = (self._pc.setup_state(u, params, ops_Ae, pc_aux)
+                       if self._pc is not None else None)
+            solver = self._solver_from(ops_Ae, M_state, u, params)
+            du = solver.solve(r)
+            u = u - du
+        return u, (ops_Ae, M_state)
+
+    def _bwd_impl(self, params, u, ops_Ae, M_state, g):
+        solver = self._solver_from(ops_Ae, M_state, u, params)
+        lam = solver.solve_transpose(self.free_mask * g)
+        lam = self.free_mask * lam
+        _, vjp_fn = jax.vjp(lambda p: self.residual(u, p), params)
+        (gp,) = vjp_fn(lam)
+        return jax.tree.map(lambda a: -a, gp)
+
+    def _prepare_aux(self, params):
+        emb = None
+        fn = self.element_matrices_fn
+        if fn is not None and hasattr(fn, "prepare"):
+            emb = fn.prepare(params)
+        pca = ()
+        if self._pc is not None:
+            pca = self._pc.prepare(params)
+        return (emb, pca)
+
     def _newton(self, params, u0):
-        """Fixed-iteration Newton (traceable)."""
+        """Legacy traceable Newton (used by the non-staged path)."""
         f = self.free_mask
         u = f * u0 + (1.0 - f) * self.bc_vals
         for _ in range(self.newton_iters):
@@ -118,7 +229,28 @@ class ImplicitPDE:
         closes over via form.param_specs."""
         if u0 is None:
             u0 = jnp.zeros(self.n_dofs)
+        if self._staged:
+            self._aux_now = self._prepare_aux(params)
         return self._solve(params, u0)
+
+
+def _build_staged_vjp(pde: ImplicitPDE):
+    @jax.custom_vjp
+    def solve(params, u0):
+        u, _ = pde._jit_fwd(params, u0, pde._aux_now)
+        return u
+
+    def fwd(params, u0):
+        u, state = pde._jit_fwd(params, u0, pde._aux_now)
+        return u, (params, u, state)
+
+    def bwd(res, g):
+        params, u, (ops_Ae, M_state) = res
+        gp = pde._jit_bwd(params, u, ops_Ae, M_state, g)
+        return gp, jnp.zeros_like(g)
+
+    solve.defvjp(fwd, bwd)
+    return solve
 
 
 def _build_custom_vjp_solve(pde: ImplicitPDE):

@@ -191,3 +191,111 @@ class AffineDesignOperator:
                 f"scale {scale:.3e} — design dependence is not "
                 f"polynomial with powers {self.powers}")
         return err / max(scale, 1e-300)
+
+
+class CachedAffineAssembler:
+    """`element_matrices_fn` for ImplicitPDE: exact affine re-assembly in the
+    design field with HOST-SIDE basis caching over the remaining parameters.
+
+    The affine basis (M_k with Ae = sum_k theta^p_k M_k) depends on every
+    parameter EXCEPT the design field (for the RM shell: E, nu, uhat). In
+    the dominant optimization pattern only the design changes per iteration,
+    so the basis is built once (two probe assemblies) and each linearization
+    costs two AXPYs instead of a full jacfwd assembly. When any non-design
+    parameter changes value, the basis is rebuilt (detected by content hash
+    — eager arrays only). Under tracing of a non-design parameter (e.g.
+    jax.grad w.r.t. E) the assembler falls back to direct assembly, so it is
+    ALWAYS exact; tracing the design field itself is fine (the affine
+    combine is jit/vjp-safe).
+
+    Only valid for operators whose Jacobian is state-independent (linear
+    problems) and polynomially dependent on a per-cell design field
+    (MID-plane RM shell with DG0 thickness: powers (1, 3)); `verify=True`
+    checks the decomposition against one direct assembly at first use.
+    """
+
+    def __init__(self, form, key="thickness", powers=(1, 3),
+                 probe_scale=None, chunk=8192, dtype=None, layout="cells",
+                 verify=True, ignore_keys=("F_solid",)):
+        self.form = form
+        self.key = key
+        # parameters that do NOT enter the Jacobian (pure load terms):
+        # excluded from the cache key and zeroed in the probe assemblies,
+        # so a traced or changing load never forces a rebuild/fallback
+        self.ignore_keys = tuple(ignore_keys)
+        self.powers = powers
+        self.chunk = chunk
+        self.dtype = dtype
+        self.layout = layout
+        self.verify = verify
+        self.probe_scale = probe_scale
+        self._cache_key = None
+        self._aff = None
+
+    def _is_concrete(self, x):
+        import jax.core
+
+        return not isinstance(x, jax.core.Tracer)
+
+    def prepare(self, params):
+        """HOST side: return the affine basis for these parameters (building
+        or reusing the cache), or None when a Jacobian-relevant parameter is
+        traced (caller must fall back to direct assembly). The returned
+        basis is meant to be threaded through jit boundaries as a runtime
+        argument and handed back to `__call__(..., basis=...)`."""
+        import hashlib
+
+        others = {
+            k: (jnp.zeros_like(v) if k in self.ignore_keys else v)
+            for k, v in params.items() if k != self.key
+        }
+        theta = params[self.key]
+        relevant = {k: v for k, v in others.items()
+                    if k not in self.ignore_keys}
+        if not all(self._is_concrete(v) for v in relevant.values()):
+            return None
+        h = hashlib.sha1()
+        for k in sorted(relevant):
+            h.update(k.encode())
+            h.update(np.asarray(relevant[k]).tobytes())
+        ck = h.hexdigest()
+        if self._aff is None or ck != self._cache_key:
+            ps = self.probe_scale
+            if ps is None:
+                th_c = (float(np.median(np.asarray(theta)))
+                        if self._is_concrete(theta) else 1.0)
+                ps = max(abs(th_c), 1e-8)
+
+            def params_of(th):
+                return {**others, self.key: th}
+
+            u0 = jnp.zeros(self.form.space.n_dofs)
+            self._aff = AffineDesignOperator(
+                self.form, u0, params_of, key=self.key, powers=self.powers,
+                probe_scale=ps, chunk=self.chunk, dtype=self.dtype,
+                layout=self.layout)
+            if self.verify and self._is_concrete(theta):
+                self._aff.verify(theta, u0, params_of)
+            self._cache_key = ck
+        return self._aff.basis
+
+    def combine(self, theta, basis):
+        """Traceable affine combine with an explicit basis (cell-major out)."""
+        th = jnp.asarray(theta).astype(basis.dtype)
+        powers = tuple(int(p) for p in self.powers)
+        if self.layout == "lane":
+            out = (th ** powers[0])[None, None, :] * basis[0]
+            for k in range(1, len(powers)):
+                out = out + (th ** powers[k])[None, None, :] * basis[k]
+            return jnp.moveaxis(out, -1, 0)
+        out = (th ** powers[0])[:, None, None] * basis[0]
+        for k in range(1, len(powers)):
+            out = out + (th ** powers[k])[:, None, None] * basis[k]
+        return out
+
+    def __call__(self, u, params, basis=None):
+        if basis is None:
+            basis = self.prepare(params)
+        if basis is None:
+            return element_matrices(self.form, u, params, chunk=self.chunk)
+        return self.combine(params[self.key], basis)

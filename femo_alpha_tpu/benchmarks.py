@@ -516,3 +516,75 @@ class ShellBench:
             J=float(out["J"]),
             grad_norm=float(jnp.linalg.norm(out["grad"])),
         )
+
+
+class LibraryBench:
+    """The PRODUCT surface: `RMShellModel.evaluate` + `jax.grad`, on the
+    same north-star workload as ShellBench (structured cantilever plate,
+    compliance + exact thickness gradient). Since round 2 the library path
+    runs the staged custom_vjp pipeline (adjoint/implicit.py): persistent
+    jitted fwd/bwd programs, affine design re-assembly, geometric-MG
+    preconditioner state shared between forward and adjoint — so what users
+    get from the documented API is the benchmark, not a hand-staged twin.
+    """
+
+    def __init__(self, nx=128, ny=32):
+        from .mesh import createRectangleMesh
+        from .models import RMShellModel
+
+        mesh = createRectangleMesh(nx, ny, (0, 0), (10.0, 2.0), "quad",
+                                   gdim=3)
+        self.model = RMShellModel(
+            mesh, shell_bc_func=lambda x: x[:, 0] < 1e-12,
+            element_wise_material=True)
+        self.n_dofs = self.model.shell_pde.W.n_dofs
+        nel, nn = mesh.n_cells, mesh.n_nodes
+        self.f = jnp.zeros(3 * nn).at[2::3].set(2.0)
+        self.E = jnp.full(nel, 4.32e8)
+        self.nu = jnp.zeros(nel)
+        self.rho = jnp.full(nel, 100.0)
+        self.th0 = jnp.full(nel, 0.2)
+
+        def J(th):
+            out = self.model.evaluate(self.f, th, self.E, self.nu, self.rho,
+                                      is_pressure=True)
+            return out.compliance, out.disp_solid
+
+        self._vg = jax.value_and_grad(J, has_aux=True)
+
+    def forward_adjoint(self, th):
+        (val, u), g = self._vg(th)
+        return dict(J=val, grad=g, u=u)
+
+    def timed_run(self, repeats=3):
+        th = self.th0
+        t0 = time.time()
+        out = self.forward_adjoint(th)
+        jax.block_until_ready((out["J"], out["grad"]))
+        compile_s = time.time() - t0
+        times = []
+        for _ in range(repeats):
+            t0 = time.time()
+            out = self.forward_adjoint(th)
+            jax.block_until_ready((out["J"], out["grad"]))
+            times.append(time.time() - t0)
+        # solve quality: linear-system residual of the returned state
+        # (one extra eager setup + matvec, not timed)
+        op = self.model.fea.states["disp_solid"].pde
+        params = {"thickness": th, "E": self.E, "nu": self.nu,
+                  "uhat": jnp.zeros_like(self.f), "F_solid": self.f}
+        r0 = op.residual(jnp.zeros(op.n_dofs), params)
+        solver = op.make_solver(out["u"], params)
+        rel = float(jnp.linalg.norm(solver.matvec(-out["u"]) - r0)
+                    / jnp.linalg.norm(r0))
+        tip = float(jnp.max(jnp.abs(out["u"])))
+        return dict(
+            wall_s=float(np.median(times)),
+            compile_s=float(compile_s),
+            n_dofs=int(self.n_dofs),
+            iters_fwd=-1, iters_adj=-1,
+            res_fwd=rel, res_adj=rel,
+            tip=tip,
+            J=float(out["J"]),
+            grad_norm=float(jnp.linalg.norm(out["grad"])),
+        )

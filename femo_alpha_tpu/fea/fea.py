@@ -37,6 +37,7 @@ class _State:
     newton_iters: int = 1
     solver_opts: dict = field(default_factory=dict)
     facet_forms: tuple = ()
+    element_matrices_fn: Optional[Callable] = None
     pde: Optional[ImplicitPDE] = None
 
 
@@ -84,6 +85,7 @@ class FEA:
         newton_iters=None,
         solver_opts=None,
         facet_forms=(),
+        element_matrices_fn=None,
     ):
         """residual_form: FemForm (kind='residual' or 'energy') over the
         state space; arguments: input names the residual reads (parity with
@@ -99,6 +101,7 @@ class FEA:
             ni,
             dict(solver_opts or {}),
             tuple(facet_forms),
+            element_matrices_fn,
         )
         self._build_pde(name)
 
@@ -135,6 +138,7 @@ class FEA:
             solver_opts=opts,
             extra_residual=st.extra_residual,
             facet_forms=st.facet_forms,
+            element_matrices_fn=st.element_matrices_fn,
         )
 
     def _get_pde(self, name) -> ImplicitPDE:

@@ -42,12 +42,16 @@ def _field_coarsener(space, nx, ny):
 
 
 def build_shell_mg(pde, bc_func, coarsest_cells=256, dtype=None,
-                   degree=6, lmin_ratio=0.06, asm_chunk=8192):
+                   degree=6, lmin_ratio=0.06, asm_chunk=8192, affine=None):
     """GeometricMG for an RMShellPDE on a StructuredQuadMesh, or None when
     the mesh cannot be coarsened at least once (odd dims / already small).
 
     dtype: precision of the hierarchy's forms/state (f32 on TPU — the
-    preconditioner does not need f64 and f64 is emulated there)."""
+    preconditioner does not need f64 and f64 is emulated there).
+    affine: per-level affine design re-assembly (h*M1 + h^3*M3, two AXPYs
+    per setup instead of a full assembly per level; assembly/affine.py) —
+    defaults to on whenever the decomposition is exact (elementwise
+    thickness, MID plane, no composite)."""
     from .pde import RMShellPDE
 
     mesh = pde.mesh
@@ -85,6 +89,10 @@ def build_shell_mg(pde, bc_func, coarsest_cells=256, dtype=None,
     if not can_coarsen(mesh.nx, mesh.ny):
         return None
 
+    if affine is None:
+        affine = (pde.element_wise_material and pde.composite is None
+                  and not pde.bot_plane)
+
     levels = []
     nx_k, ny_k = mesh.nx, mesh.ny
     comp_k = pde.composite
@@ -94,8 +102,20 @@ def build_shell_mg(pde, bc_func, coarsest_cells=256, dtype=None,
         u0_k = jnp.zeros(pde_k.W.n_dofs, dtype=dtype)
         lev = {"space": pde_k.W, "free": free_k}
 
-        def make_Ae(p, form_k=form_k, u0_k=u0_k):
-            return element_matrices(form_k, u0_k, p, chunk=asm_chunk)
+        if affine:
+            from ...assembly.affine import CachedAffineAssembler
+
+            asm_k = CachedAffineAssembler(form_k, chunk=asm_chunk,
+                                          dtype=dtype)
+
+            def make_Ae(p, asm_k=asm_k, u0_k=u0_k):
+                return asm_k(u0_k, p, basis=p.get("_affine_basis"))
+
+            lev["affine_asm"] = asm_k
+        else:
+
+            def make_Ae(p, form_k=form_k, u0_k=u0_k):
+                return element_matrices(form_k, u0_k, p, chunk=asm_chunk)
 
         lev["make_Ae"] = make_Ae
         if can_coarsen(nx_k, ny_k):
@@ -156,3 +176,41 @@ def shell_mg_precond_factory(mg, dtype=None):
         return M
 
     return factory
+
+
+class ShellMGPrecond:
+    """Split-protocol preconditioner for ImplicitPDE's staged solve path:
+    `prepare` runs host-side (affine basis caches, see assembly/affine.py),
+    `setup_state` / `apply_state` are traceable and their state is a pytree
+    — so the forward solve's preconditioner state is REUSED by the adjoint
+    solve through the custom_vjp residuals instead of being rebuilt."""
+
+    _KEYS = ("thickness", "E", "nu", "uhat", "F_solid")
+
+    def __init__(self, mg: GeometricMG, dtype=None):
+        self.mg = mg
+        self.dtype = dtype
+
+    def prepare(self, params):
+        p = {k: params[k] for k in self._KEYS if k in params}
+        bases = []
+        for lev in self.mg.levels:
+            asm = lev.get("affine_asm")
+            if asm is None:
+                return ()
+            b = asm.prepare(p)
+            if b is None:
+                return ()
+            bases.append(b)
+            if "coarsen" in lev:
+                p = lev["coarsen"](p)
+        return tuple(bases)
+
+    def setup_state(self, u, params, ops_Ae, aux):
+        p = {k: params[k] for k in self._KEYS if k in params}
+        return self.mg.setup(p, Ae0=ops_Ae[0], dtype=self.dtype,
+                             bases=aux if aux else None)
+
+    def apply_state(self, state, v):
+        sdt = state["Ae"][0].dtype
+        return self.mg.apply(state, v.astype(sdt)).astype(v.dtype)

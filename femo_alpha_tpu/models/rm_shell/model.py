@@ -168,13 +168,13 @@ class RMShellModel:
                                                    False):
                     import jax as _jax
 
-                    from .mg import build_shell_mg, shell_mg_precond_factory
+                    from .mg import build_shell_mg, ShellMGPrecond
 
                     sdt = (jnp.float32
                            if _jax.default_backend() == "tpu" else None)
                     mg = build_shell_mg(pde, self.shell_bc_func, dtype=sdt)
                     if mg is not None:
-                        opts["precond_factory"] = shell_mg_precond_factory(
+                        opts["precond_factory"] = ShellMGPrecond(
                             mg, dtype=sdt)
                 if "precond_factory" not in opts:
                     from ...solvers.band import band_precond_factory
@@ -199,12 +199,25 @@ class RMShellModel:
             }[name]
             fea.add_input(name, space)
 
+        # affine design decomposition for the fine operator: the MID-plane
+        # shell stiffness is exactly h*M1 + h^3*M3 per cell, so each
+        # linearization (fwd AND adjoint solves) re-assembles with two AXPYs
+        # instead of a full jacfwd pass; basis cached host-side over
+        # (E, nu, uhat) with tracer-safe fallback (assembly/affine.py)
+        emf = None
+        if (self.element_wise_material and self.composite_clt is None
+                and not pde.bot_plane):
+            from ...assembly.affine import CachedAffineAssembler
+
+            emf = CachedAffineAssembler(residual_form)
+
         fea.add_state(
             "disp_solid",
             residual_form,
             arguments=["thickness", "F_solid", "E", "nu", "uhat"],
             facet_forms=facet_forms,
             solver_opts=opts,
+            element_matrices_fn=emf,
         )
         if not self.PENALTY_BC:
             fea.add_strong_bc(bc_dofs, 0.0)

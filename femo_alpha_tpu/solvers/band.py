@@ -350,31 +350,43 @@ def _dm_device(spec):
     return spec.dofmap if hasattr(spec, "dofmap") else spec
 
 
+class BandPrecond:
+    """Split-protocol preconditioner (ImplicitPDE staged path, see
+    adjoint/implicit.py): factors the band Cholesky of the CURRENT
+    linearization once per forward solve and hands the factor pytree to the
+    adjoint through the custom_vjp residuals — the TPU-native equivalent of
+    the reference reusing the MUMPS factorization for fwd AND adjoint
+    (utils_dolfinx.py:495-531, state_operation.py:212-218)."""
+
+    def __init__(self, space, dofmaps, free_mask=None, dtype=None,
+                 shift=1e-5):
+        self.band = BandCholPrecond(space, dofmaps, dtype=dtype, shift=shift)
+        self.free_mask = free_mask
+        self._specs = None  # set by the factory below (op layout)
+
+    def prepare(self, params):
+        return ()
+
+    def setup_state(self, u, params, ops_Ae, aux):
+        ops = list(zip(ops_Ae, self._specs))
+        return self.band.setup(ops, free=self.free_mask)
+
+    def apply_state(self, state, v):
+        return self.band.apply(state, v)
+
+
 def band_precond_factory(space, form, facet_forms=(), free_mask=None,
                          dtype=None, shift=1e-5):
-    """precond_factory for ImplicitPDE.solver_opts: assembles + factors the
-    band Cholesky of the CURRENT linearization (cell + penalty facet
-    operators) on every (re)linearization — the TPU-native equivalent of
-    the reference re-running MUMPS per Newton/design iteration
-    (utils_dolfinx.py:495-531)."""
-    from ..assembly.assemble import element_matrices
-
+    """Build a BandPrecond for a form + facet forms (the op layout matches
+    ImplicitPDE._assemble_ops: fine operator first, then one block per
+    facet group)."""
     dofmaps = [_dofmap_of(form.space)]
+    specs = [form.space]
     for ff in facet_forms:
         for g in ff.groups:
             dofmaps.append(np.asarray(g["dofmap_d"]))
-    bc = BandCholPrecond(space, dofmaps, dtype=dtype, shift=shift)
-
-    def factory(u, params):
-        ops = [(element_matrices(form, u, params), form.space)]
-        for ff in facet_forms:
-            ops.extend(ff.element_ops(u, params))
-        state = bc.setup(ops, free=free_mask)
-
-        def M(v):
-            return bc.apply(state, v)
-
-        return M
-
-    factory.band = bc
-    return factory
+            specs.append(g["dofmap_d"])
+    pc = BandPrecond(space, dofmaps, free_mask=free_mask, dtype=dtype,
+                     shift=shift)
+    pc._specs = specs
+    return pc

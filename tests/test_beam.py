@@ -53,8 +53,11 @@ def test_beam_adjoint_vs_fd(beam):
     def compliance(p):
         return jnp.reshape(beam.evaluate(p["thickness"]).compliance, ())
 
+    # eps=1e-5 sits at the bottom of the FD V-curve for this compliance
+    # scale (~1e5): 1e-6 is roundoff-dominated (measured rel ~4e-5 from FD
+    # noise alone), 1e-4 truncation-dominated
     check_totals(
-        compliance, {"thickness": jnp.full(50, 0.1)}, eps=1e-6,
+        compliance, {"thickness": jnp.full(50, 0.1)}, eps=1e-5,
         directions=2, rtol=1e-5, verbose=False,
     )
 
