@@ -1,12 +1,13 @@
 from .beam import EulerBernoulliBeamModel
 from .rm_shell import RMShellModel, RMShellPDE
-from .poisson import PoissonModel
+from .poisson import NonlinearPoissonModel, PoissonModel
 from .elasticity import ElasticityModel
 
 __all__ = [
     "EulerBernoulliBeamModel",
     "RMShellModel",
     "RMShellPDE",
+    "NonlinearPoissonModel",
     "PoissonModel",
     "ElasticityModel",
 ]
