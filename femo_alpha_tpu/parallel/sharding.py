@@ -142,9 +142,19 @@ class ShardedShellStep:
     Linear shell => the solve is one jax.lax.custom_linear_solve (CG inner),
     so jax.value_and_grad differentiates through it with a transposed solve —
     the same forward+adjoint pair as the reference optimizer iteration
-    (SURVEY.md §3.1-3.2), now SPMD."""
+    (SURVEY.md §3.1-3.2), now SPMD.
 
-    def __init__(self, nx=8, ny=4, jmesh=None, bc_func=None):
+    precond='mg' gives the sharded CG the geometric-MG V-cycle: every
+    level's element matrices carry a NamedSharding over the cell axis, so
+    XLA's SPMD partitioner distributes the smoother/residual matvecs
+    (gather -> cell matvec -> scatter-add -> all-reduce over ICI) while dof
+    vectors stay replicated; levels too small to shard evenly (and the
+    dense coarse inverse) are replicated — redundant compute, zero comm.
+    This makes multi-chip a perf story (MUMPS-parity MG per chip count),
+    not just a correctness demo."""
+
+    def __init__(self, nx=8, ny=4, jmesh=None, bc_func=None,
+                 precond="jacobi", coarsest_cells=8):
         from ..mesh import createRectangleMesh
         from ..models.rm_shell.pde import RMShellPDE
         from ..spaces import locate_dofs_geometric
@@ -163,11 +173,45 @@ class ShardedShellStep:
         self.form = pde.make_residual_form()
         self.asm = ShardedAssembler(self.form, self.jmesh)
         self.n = pde.W.n_dofs
+        self.mg = None
+        if precond == "mg":
+            from ..models.rm_shell.mg import build_shell_mg
+
+            self.mg = build_shell_mg(pde, bc_func,
+                                     coarsest_cells=coarsest_cells)
+            assert self.mg is not None, (
+                "mesh cannot build an MG hierarchy (odd dims or below "
+                f"coarsest_cells={coarsest_cells})")
         nT = pde.VT.n_dofs
         self.example_thickness = jnp.full(nT, 0.2)
         f = np.zeros((mesh.n_nodes, 3))
         f[:, 2] = 2.0
         self.example_force = jnp.asarray(f.reshape(-1))
+
+    def _shard_mg_state(self, state):
+        """Cell-shard each level's element matrices (cell-major (nc, nd, nd))
+        when the level is large enough to split evenly; the rest replicate."""
+        from jax.sharding import NamedSharding
+
+        ndev = self.jmesh.shape[self.axis_name]
+        shard = NamedSharding(self.jmesh, P(self.axis_name))
+        repl = NamedSharding(self.jmesh, P())
+
+        def constrain(a, spec):
+            return jax.lax.with_sharding_constraint(a, spec)
+
+        out = dict(state)
+        out["Ae"] = [
+            constrain(Ae, shard)
+            if (Ae.shape[0] % ndev == 0 and Ae.shape[0] >= 2 * ndev)
+            else constrain(Ae, repl)
+            for Ae in state["Ae"]
+        ]
+        return out
+
+    @property
+    def axis_name(self):
+        return self.asm.axis
 
     def _solve(self, thickness, force):
         params = {
@@ -184,8 +228,19 @@ class ShardedShellStep:
         mv = self.asm.make_matvec(u0, params)
         mv_c = constrain_matvec(mv, free)
 
+        M = None
+        if self.mg is not None:
+            # stop_gradient: the V-cycle state steers CG iterations but must
+            # not join the differentiation (custom_linear_solve closes over
+            # the solve fn; the preconditioner is mathematically irrelevant
+            # to the solution the IFT differentiates)
+            state = jax.lax.stop_gradient(
+                self._shard_mg_state(self.mg.setup(params)))
+            M = lambda v: self.mg.apply(state, v)  # noqa: E731
+
         def inner(op, rhs):
-            x, _ = cg_solve(op, rhs, tol=1e-10, maxiter=2000)
+            x, _ = cg_solve(op, rhs, M=M, tol=1e-10,
+                            maxiter=200 if M is not None else 2000)
             return x
 
         u = jax.lax.custom_linear_solve(mv_c, b, inner, symmetric=True)

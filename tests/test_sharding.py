@@ -51,3 +51,31 @@ def test_sharded_residual_matches_unsharded():
     r_ref = assemble_residual(step.form, u, params)
     assert np.allclose(np.asarray(r_sharded), np.asarray(r_ref),
                        rtol=1e-9, atol=1e-10)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_mg_matches_single_device_mg():
+    """VERDICT round-1 item 10: the multi-chip path with the geometric-MG
+    preconditioner (element matrices cell-sharded per level, smoother
+    matvecs distributed by the SPMD partitioner) must reproduce the
+    single-device MG solve."""
+    kw = dict(nx=32, ny=8, precond="mg", coarsest_cells=8)
+    jmesh8 = make_device_mesh(8)
+    step8 = ShardedShellStep(jmesh=jmesh8, **kw)
+    assert len(step8.mg.levels) >= 3
+    v8, g8 = jax.jit(step8.train_step)(step8.example_thickness,
+                                       step8.example_force)
+    jmesh1 = make_device_mesh(1)
+    step1 = ShardedShellStep(jmesh=jmesh1, **kw)
+    v1, g1 = jax.jit(step1.train_step)(step1.example_thickness,
+                                       step1.example_force)
+    assert abs(float(v8) - float(v1)) < 1e-9 * max(1, abs(float(v1)))
+    g8, g1 = np.asarray(g8), np.asarray(g1)
+    assert np.linalg.norm(g8 - g1) < 1e-6 * np.linalg.norm(g1)
+    # and the preconditioned path agrees with the unpreconditioned one
+    stepj = ShardedShellStep(nx=32, ny=8, jmesh=jmesh8)
+    vj, gj = jax.jit(stepj.train_step)(stepj.example_thickness,
+                                       stepj.example_force)
+    assert abs(float(v8) - float(vj)) < 1e-8 * max(1, abs(float(vj)))
+    assert np.linalg.norm(g8 - np.asarray(gj)) < (
+        1e-5 * np.linalg.norm(np.asarray(gj)))
