@@ -152,6 +152,39 @@ class FEA:
             return self.custom_solve(self, name, params, u0)
         return self._get_pde(name).solve(params, u0=u0)
 
+    def solveLinearFwd(self, name, u, params, dR):
+        """Tangent solve (dR/du) du = dR at the linearization point u —
+        named parity with FEA.solveLinearFwd (fea_dolfinx.py:173-187), which
+        solves A du = dR with the transposed-MUMPS kit. Functionality also
+        flows implicitly through ImplicitPDE's custom_vjp; this entry point
+        serves external callers that drive their own chain rule."""
+        pde = self._get_pde(name)
+        return pde.make_solver(u, params).solve(pde.free_mask * dR)
+
+    def solveLinearBwd(self, name, u, params, g):
+        """Adjoint solve (dR/du)^T lam = g with BC rows of lam zeroed —
+        named parity with FEA.solveLinearBwd (fea_dolfinx.py:189-203;
+        post-zeroing per state_operation.py:217-218)."""
+        pde = self._get_pde(name)
+        lam = pde.make_solver(u, params).solve_transpose(pde.free_mask * g)
+        return pde.free_mask * lam
+
+    def add_exact_solution(self, name, fn):
+        """Register an exact solution for a state (parity with
+        add_exact_solution, fea_dolfinx.py:138-145): fn maps physical points
+        (n, gdim) -> values, evaluated at quadrature points by
+        `compute_error` (the errorNorm pattern, utils_dolfinx.py:244-256)."""
+        self.exact_solutions = getattr(self, "exact_solutions", {})
+        self.exact_solutions[name] = fn
+
+    def compute_error(self, name, u, norm="L2"):
+        """Error norm of a state against its registered exact solution."""
+        from .utils import errorNorm
+
+        space = self.states[name].form.space
+        return errorNorm(space, jnp.asarray(u), self.exact_solutions[name],
+                         norm=norm)
+
     def evaluate_output(self, name, vals):
         """vals: dict of state+input arrays. Returns scalar (device)."""
         out = self.outputs[name]
