@@ -113,14 +113,15 @@ def _plane_stress(E, nu):
                      [0.0, 0.0, 0.5 * f * (1.0 - nu)]])
 
 
-def solve_rm_plate(coords, conn, thickness, E, nu, f_nodal,
-                   bc_func, point_rule=None):
-    """Assemble + solve the clamped RM plate. Returns (u_vert (nn,3),
-    th_vert (nn,3)) nodal fields at mesh vertices.
+def assemble_rm_plate(coords, conn, thickness, E, nu, f_nodal, rho=None):
+    """Assemble the clamped RM plate operators. Returns a dict with the
+    stiffness K (csr), load F, the Q2 space, and — when rho is given — the
+    shell mass matrix M of the inertia density
+    rho*h*(|u|^2 + h_cell^2 |theta|^2)/2 (rotational inertia scaled by the
+    mesh-size-squared drilling stabilization, as the library's
+    inertia_form / the reference's inertialResidual).
 
-    thickness/E/nu: per-cell (DG0) arrays; f_nodal: (nn, 3) CG1 load.
-    bc_func: (n,2)->bool mask over dof coordinates (all located dofs of both
-    fields are fixed to zero)."""
+    thickness/E/nu: per-cell (DG0) arrays; f_nodal: (nn, 3) CG1 load."""
     coords = np.asarray(coords, dtype=np.float64)
     conn = np.asarray(conn, dtype=int)
     nn, nc = len(coords), len(conn)
@@ -134,6 +135,7 @@ def solve_rm_plate(coords, conn, thickness, E, nu, f_nodal,
             for b, wb in zip(GAUSS_PTS, GAUSS_WTS)]
 
     rows, cols, vals = [], [], []
+    mvals = [] if rho is not None else None
     F = np.zeros(n_total)
     for c in range(nc):
         xy = coords[conn[c], :2]
@@ -155,6 +157,7 @@ def solve_rm_plate(coords, conn, thickness, E, nu, f_nodal,
             3 * nQ2 + (3 * conn[c][:, None] + np.arange(3)).ravel(),
         ])
         Ke = np.zeros((39, 39))
+        Me = np.zeros((39, 39)) if rho is not None else None
         Fe = np.zeros(39)
         fv = f_nodal[conn[c]]  # (4, 3)
         for a, b, w in qpts:
@@ -198,29 +201,93 @@ def solve_rm_plate(coords, conn, thickness, E, nu, f_nodal,
             Fe[0:27:3] += wx * phi2 * fq[0]
             Fe[1:27:3] += wx * phi2 * fq[1]
             Fe[2:27:3] += wx * phi2 * fq[2]
+            if rho is not None:
+                # rho h (phi_a phi_b) per disp component;
+                # rho h hc^2 (psi_a psi_b) per rotation component
+                mq2 = rho * h * np.outer(phi2, phi2)
+                mq1 = rho * h * hc ** 2 * np.outer(phi1, phi1)
+                for comp in range(3):
+                    Me[comp:27:3, comp:27:3] += wx * mq2
+                    Me[27 + comp::3, 27 + comp::3] += wx * mq1
 
         rows.append(np.repeat(gdofs, 39))
         cols.append(np.tile(gdofs, 39))
         vals.append(Ke.ravel())
+        if rho is not None:
+            mvals.append(Me.ravel())
         F[gdofs] += Fe
 
-    K = sp.csr_matrix(
-        (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
-        shape=(n_total, n_total))
+    ij = (np.concatenate(rows), np.concatenate(cols))
+    K = sp.csr_matrix((np.concatenate(vals), ij), shape=(n_total, n_total))
+    M = (sp.csr_matrix((np.concatenate(mvals), ij),
+                       shape=(n_total, n_total)) if rho is not None else None)
+    return dict(K=K, M=M, F=F, space=sq, nn=nn, n_total=n_total)
 
+
+def _fixed_mask(out, coords, bc_func):
+    sq, nn, n_total = out["space"], out["nn"], out["n_total"]
+    nQ2 = sq.n_dofs
     fixed = np.zeros(n_total, dtype=bool)
     m2 = bc_func(sq.dof_xy)
-    m1 = bc_func(coords[:, :2])
+    m1 = bc_func(np.asarray(coords)[:, :2])
     for comp in range(3):
         fixed[3 * np.where(m2)[0] + comp] = True
         fixed[3 * nQ2 + 3 * np.where(m1)[0] + comp] = True
+    return fixed
+
+
+def _split_vertex_fields(out, u):
+    sq, nn = out["space"], out["nn"]
+    u_vert = u[: 3 * sq.n_dofs].reshape(sq.n_dofs, 3)[:nn]
+    th_vert = u[3 * sq.n_dofs:].reshape(nn, 3)
+    return u_vert, th_vert
+
+
+def solve_rm_plate(coords, conn, thickness, E, nu, f_nodal, bc_func):
+    """Assemble + solve the clamped static RM plate. Returns
+    (u_vert (nn,3), th_vert (nn,3)) nodal fields at mesh vertices."""
+    out = assemble_rm_plate(coords, conn, thickness, E, nu, f_nodal)
+    fixed = _fixed_mask(out, coords, bc_func)
     free = ~fixed
+    K, F, n_total = out["K"], out["F"], out["n_total"]
     u = np.zeros(n_total)
     u[free] = spla.spsolve(K[np.ix_(free, free)].tocsc(), F[free])
+    return _split_vertex_fields(out, u)
 
-    u_vert = u[: 3 * nQ2].reshape(nQ2, 3)[:nn]
-    th_vert = u[3 * nQ2:].reshape(nQ1, 3)
-    return u_vert, th_vert
+
+def implicit_midpoint_history(coords, conn, thickness, E, nu, rho, dt,
+                              f_nodal_history, bc_func):
+    """Independent implicit-midpoint transient: per step solve
+    A w = F_i + (2/dt^2) M w_old + (2/dt) M wdot_old - K w_old / 2,
+    A = (2/dt^2) M + K/2, Dirichlet rows eliminated;
+    wdot = (2/dt)(w - w_old) - wdot_old; w_0 = wdot_0 = 0.
+
+    f_nodal_history: (time_levels, nn, 3); row 0 is the (unused) initial
+    level. Returns (time_levels, nn, 3) vertex displacement history."""
+    out = assemble_rm_plate(coords, conn, thickness, E, nu,
+                            f_nodal_history[1], rho=rho)
+    K, M, sq, n_total = out["K"], out["M"], out["space"], out["n_total"]
+    fixed = _fixed_mask(out, coords, bc_func)
+    free = ~fixed
+    # per-level consistent load vectors
+    Fs = []
+    for f in f_nodal_history:
+        o = assemble_rm_plate(coords, conn, thickness, E, nu, f)
+        Fs.append(o["F"])
+    A = ((2.0 / dt ** 2) * M + 0.5 * K)[np.ix_(free, free)].tocsc()
+    lu = spla.splu(A)
+    w = np.zeros(n_total)
+    wd = np.zeros(n_total)
+    hist = [_split_vertex_fields(out, w)[0].copy()]
+    for i in range(1, len(Fs)):
+        b = (Fs[i] + (2.0 / dt ** 2) * (M @ w) + (2.0 / dt) * (M @ wd)
+             - 0.5 * (K @ w))
+        w_new = np.zeros(n_total)
+        w_new[free] = lu.solve(b[free])
+        wd = (2.0 / dt) * (w_new - w) - wd
+        w = w_new
+        hist.append(_split_vertex_fields(out, w)[0].copy())
+    return np.stack(hist, axis=0)
 
 
 def beam_hermite_solution(nel, L, E, width, thickness, tip_load):

@@ -12,7 +12,11 @@ import pytest
 from femo_alpha_tpu.mesh import createRectangleMesh
 from femo_alpha_tpu.models import EulerBernoulliBeamModel, RMShellModel
 
-from independent_shell import beam_hermite_solution, solve_rm_plate
+from independent_shell import (
+    beam_hermite_solution,
+    implicit_midpoint_history,
+    solve_rm_plate,
+)
 
 
 @pytest.mark.parametrize("nx,ny", [(10, 4), (50, 10)])
@@ -81,3 +85,43 @@ def test_beam_nodal_fields_match_independent():
         1e-8 * np.linalg.norm(defl_ind))
     assert np.linalg.norm(rot_lib - rot_ind) <= (
         1e-8 * np.linalg.norm(rot_ind))
+
+
+def test_transient_step_history_matches_independent():
+    """One transient history (implicit midpoint, 4 steps) cross-validated:
+    the library's lax.scan stepper vs the independent scipy splu stepping of
+    the same recurrence (stiffness + shell inertia with h_cell^2-scaled
+    rotational term)."""
+    from femo_alpha_tpu.models.dynamic_rm_shell import PlateSim
+
+    nx, ny = 8, 4
+    L, W = 2.0, 1.0
+    mesh = createRectangleMesh(nx, ny, (0, 0), (L, W), "quad", gdim=3)
+    nn, nel = mesh.n_nodes, mesh.n_cells
+    rng = np.random.default_rng(11)
+    thickness = 0.02 + 0.01 * rng.random(nel)
+    E, nu, rho = 7.0e10, 0.3, 2700.0
+    dt, nsteps = 0.002, 4
+
+    f_hist = np.zeros((nsteps + 1, nn, 3))
+    for i in range(nsteps + 1):
+        f_hist[i, :, 2] = 500.0 * i / nsteps * (
+            1.0 + np.asarray(mesh.coords[:, 0]) / L)
+
+    sim = PlateSim(mesh, E, nu, rho, dt, nsteps,
+                   element_wise_thickness=True,
+                   custom_bc_func=lambda x: x[:, 0] < 1e-12, quad_deg=4)
+    sim.update_f_history(f_hist.reshape(nsteps + 1, -1))
+    wh = np.asarray(sim.simulate(jnp.asarray(thickness),
+                                 jnp.asarray(f_hist.reshape(nsteps + 1, -1))))
+    u_lib = wh[:, : 3 * nn].reshape(nsteps + 1, nn, 3)
+
+    u_ind = implicit_midpoint_history(
+        np.asarray(mesh.coords), np.asarray(mesh.conn), thickness,
+        np.full(nel, E), np.full(nel, nu), rho, dt, f_hist,
+        bc_func=lambda xy: xy[:, 0] < 1e-12)
+
+    rel = (np.linalg.norm(u_lib - u_ind)
+           / np.linalg.norm(u_ind))
+    assert rel <= 1e-8, rel
+    assert np.max(np.abs(u_ind[-1])) > 1e-7  # the plate actually moves
