@@ -39,9 +39,15 @@ class OptimizationProblem:
         self.objective = name
         self.obj_scaler = scaler
 
-    def add_constraint(self, name, lower=None, upper=None, equals=None):
+    def add_constraint(self, name, lower=None, upper=None, equals=None,
+                       scaler=1.0):
+        """scaler: multiplies the constraint value and its bounds before
+        they reach SLSQP (the reference's ModOpt `scaler=` knob) — without
+        it, O(1e8) stress constraints against an O(1) objective wreck the
+        QP subproblem conditioning."""
         self.constraints.append(
-            dict(name=name, lower=lower, upper=upper, equals=equals)
+            dict(name=name, lower=lower, upper=upper, equals=equals,
+                 scaler=scaler)
         )
 
     # ------------------------------------------------------------ plumbing
@@ -86,7 +92,8 @@ class OptimizationProblem:
 
         cons = []
         for c in self.constraints:
-            vg = self._scalar_fn(c["name"])
+            vg = self._scalar_fn(c["name"], c.get("scaler", 1.0))
+            sc = c.get("scaler", 1.0)
 
             def make(vg, shift, sign):
                 def fun(x):
@@ -100,14 +107,14 @@ class OptimizationProblem:
                 return fun, jac
 
             if c["equals"] is not None:
-                fun, jac = make(vg, float(c["equals"]), 1.0)
+                fun, jac = make(vg, sc * float(c["equals"]), 1.0)
                 cons.append(dict(type="eq", fun=fun, jac=jac))
             else:
                 if c["lower"] is not None:
-                    fun, jac = make(vg, float(c["lower"]), 1.0)
+                    fun, jac = make(vg, sc * float(c["lower"]), 1.0)
                     cons.append(dict(type="ineq", fun=fun, jac=jac))
                 if c["upper"] is not None:
-                    fun, jac = make(vg, float(c["upper"]), -1.0)
+                    fun, jac = make(vg, sc * float(c["upper"]), -1.0)
                     cons.append(dict(type="ineq", fun=fun, jac=jac))
 
         bounds = None
