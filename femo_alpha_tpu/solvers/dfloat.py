@@ -34,28 +34,65 @@ class DF(NamedTuple):
 _SPLIT = jnp.float32(4097.0)  # 2^12 + 1 (f32 has 24 mantissa bits)
 
 
+def _ob(x):
+    """Optimization barrier: under jit, XLA's algebraic simplifier folds
+    error-free transforms like `(a + b) - a -> b` (and the CPU backend may
+    evaluate f32 chains with excess precision), which silently zeroes the
+    compensation terms — measured: jit df_dot degraded from 2e-14 to 4e-9
+    relative without barriers. The barrier pins the exact f32 rounding of
+    each intermediate."""
+    import jax
+
+    return jax.lax.optimization_barrier(x)
+
+
 def _two_sum(a, b):
-    s = a + b
-    bb = s - a
-    err = (a - (s - bb)) + (b - bb)
+    s = _ob(a + b)
+    bb = _ob(s - a)
+    err = (a - _ob(s - bb)) + (b - bb)
     return s, err
 
 
 def _quick_two_sum(a, b):
     # requires |a| >= |b|
-    s = a + b
-    err = b - (s - a)
+    s = _ob(a + b)
+    err = b - _ob(s - a)
     return s, err
 
 
 def _split(a):
-    c = _SPLIT * a
-    hi = c - (c - a)
+    """Exact 12+12-bit significand split via mantissa masking.
+
+    The classic Veltkamp split (c = 4097*a; hi = c - (c - a)) is broken by
+    FMA contraction: XLA's CPU/LLVM emitter fuses the fmul into the
+    following fsub inside fused kernels EVEN ACROSS hlo optimization
+    barriers (measured: hi = fma(4097, a, -(c-a)) — a different value),
+    which corrupts every downstream two_prod. Integer ops can't contract:
+    mask off the low 12 mantissa bits (round-to-zero), so ah has <= 12
+    significand bits, al = a - ah is exact (Sterbenz) with <= 12 bits, and
+    all cross products are exact in f32."""
+    import jax
+
+    bits = jax.lax.bitcast_convert_type(a, jnp.int32)
+    hi = jax.lax.bitcast_convert_type(
+        bits & jnp.int32(-4096), jnp.float32)
     return hi, a - hi
 
 
+def _seal(x):
+    """Materialize a product's rounded value so every downstream use is the
+    SAME f32 number. LLVM contracts fmul+fadd to fma inside fused kernels
+    (even across hlo optimization barriers), so a raw product feeding
+    two_sum gets a DIFFERENT value at each use site — measured 1.2e-8
+    relative error on a 64-term jit df_dot vs 6e-15 eager. `x + 0.0` fixes
+    it: the hlo barrier keeps the algebraic simplifier from folding the
+    add; at LLVM level fadd(x, +0.0) is not foldable without nsz, and if
+    it contracts to fma(a, b, 0.0) the result still equals fl(a*b)."""
+    return x + _ob(jnp.zeros((), jnp.float32))
+
+
 def _two_prod(a, b):
-    p = a * b
+    p = _seal(a * b)
     ah, al = _split(a)
     bh, bl = _split(b)
     err = ((ah * bh - p) + ah * bl + al * bh) + al * bl
@@ -154,3 +191,42 @@ def df_dot(x: DF, y: DF) -> DF:
 
 def df_norm2(x: DF) -> DF:
     return df_dot(x, x)
+
+
+def _tree_fold_sum(hi, lo, axis):
+    """Compensated binary-tree reduction of a (hi, lo) pair stream along
+    `axis`: two-sum folds on the hi words, rounding errors drained into the
+    lo stream. Returns (hi, lo) with the axis removed."""
+    hi = jnp.moveaxis(hi, axis, 0)
+    lo = jnp.moveaxis(lo, axis, 0)
+    n = hi.shape[0]
+    m = 1
+    while m < n:
+        m *= 2
+    if m != n:
+        pad = [(0, m - n)] + [(0, 0)] * (hi.ndim - 1)
+        hi = jnp.pad(hi, pad)
+        lo = jnp.pad(lo, pad)
+    while hi.shape[0] > 1:
+        h = hi.shape[0] // 2
+        s, err = _two_sum(hi[:h], hi[h:])
+        lo = lo[:h] + lo[h:] + err
+        hi = s
+    h, l2 = _two_sum(hi[0], lo[0])
+    return h, l2
+
+
+def df_cell_matvec_T(Ae: DF, xc: DF) -> DF:
+    """Lane-major per-cell matvec in float-float: Ae (nd, nd, nc) pair,
+    xc (nd, nc) pair -> (nd, nc) pair.
+
+    y[i, c] = sum_j Ae[i, j, c] * xc[j, c] with Dekker two-prod products and
+    a compensated tree reduction over j — the float-float twin of
+    assembly.assemble.cell_matvec_T. NOTE: a DF pair moves the same 8
+    bytes/entry as f64, so on a bandwidth-bound matvec this can only win
+    whatever margin the f64 software ARITHMETIC adds on top of the Ae
+    streaming cost (see tools/df_microbench.py for the measurement)."""
+    p, e = _two_prod(Ae.hi, xc.hi[None, :, :])
+    e = e + Ae.hi * xc.lo[None, :, :] + Ae.lo * xc.hi[None, :, :]
+    h, l2 = _tree_fold_sum(p, e, axis=1)
+    return DF(h, l2)

@@ -62,3 +62,35 @@ def test_axpy_chain_stability():
         r = df.df_sub(r, df.df_scale(q, alpha))
     err = float(jnp.max(jnp.abs(df.df_to_f64(r) - r64)))
     assert err < 1e-11 * float(jnp.max(jnp.abs(r64)) + 1.0)
+
+
+def test_jit_preserves_error_free_transforms():
+    """Under jit, LLVM's FMA contraction (fmul fused into a following fadd
+    inside fused kernels, even across hlo optimization barriers) used to
+    give every use-site of a raw product a DIFFERENT f32 value, silently
+    degrading jit df_dot to ~1e-8 relative while eager stayed ~1e-14.
+    Guard the fix (_seal + bit-mask _split) on every backend."""
+    import jax
+
+    for n in (64, 63_000):
+        x, y = _rand(n, 7), _rand(n, 8)
+        xdf, ydf = df.df_from_f64(x), df.df_from_f64(y)
+        ref = float(jnp.vdot(x, y))
+        got = float(df.df_to_f64(jax.jit(df.df_dot)(xdf, ydf)))
+        scale = float(jnp.vdot(jnp.abs(x), jnp.abs(y)))
+        assert abs(got - ref) / scale < 1e-12, (n, got, ref)
+
+
+def test_df_cell_matvec_matches_f64():
+    import jax
+
+    from femo_alpha_tpu.assembly.assemble import cell_matvec_T
+
+    nd, nc = 39, 512
+    rng = np.random.default_rng(2)
+    Ae = jnp.asarray(rng.standard_normal((nd, nd, nc)))
+    xc = jnp.asarray(rng.standard_normal((nd, nc)))
+    ref = np.asarray(cell_matvec_T(Ae, xc))
+    got = np.asarray(df.df_to_f64(jax.jit(df.df_cell_matvec_T)(
+        df.df_from_f64(Ae), df.df_from_f64(xc))))
+    assert np.linalg.norm(got - ref) <= 1e-12 * np.linalg.norm(ref)
