@@ -3,16 +3,21 @@ equivalent: objective + exact adjoint gradient w.r.t. the thickness field)
 on a structured cantilever plate — the BASELINE.md north-star workload.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": wall seconds, "unit": "s", "vs_baseline": ...}
+  {"metric": ..., "value": wall seconds, "unit": "s", "vs_baseline": ...,
+   "scale_point": {...}}   # 988k-dof point, device backends only
 
 vs_baseline: speedup of this device over the same workload run on the host
-CPU backend by the same framework (measured live in a subprocess; the
-reference publishes no wall time for this workload — BASELINE.md §'published'
-is empty — so the framework's own CPU path is the baseline).
+CPU backend by the same framework (the reference publishes no wall time for
+this workload — BASELINE.md §'published' is empty — so the framework's own
+CPU path is the baseline). CPU walls are read from the committed
+bench_baseline.json (measured on this 1-core host); a missing entry is
+measured live in a subprocess and stored.
 
-Size via FEMO_BENCH_NX/NY (default 128x32 ~ 63k mixed dofs; fits the compile
-+solve budget on the current TPU service — larger sizes pending the
-multigrid preconditioner, see COVERAGE.md).
+Headline size via FEMO_BENCH_NX/NY (default 128x32 ~ 63k mixed dofs). On
+non-CPU backends a second measurement at FEMO_BENCH_SCALE_NX/NY (default
+512x128 ~ 988k dofs — the BASELINE.md 1M-dof north star) is reported under
+"scale_point" with the assembly-MDOF/s metric; FEMO_BENCH_SKIP_SCALE=1
+disables it.
 """
 
 import json
@@ -22,6 +27,8 @@ import sys
 
 NX = int(os.environ.get("FEMO_BENCH_NX", "128"))
 NY = int(os.environ.get("FEMO_BENCH_NY", "32"))
+SCALE_NX = int(os.environ.get("FEMO_BENCH_SCALE_NX", "512"))
+SCALE_NY = int(os.environ.get("FEMO_BENCH_SCALE_NY", "128"))
 # 'library' (default): the PRODUCT path, RMShellModel.evaluate + jax.grad
 # (staged custom_vjp pipeline). 'staged': the hand-staged ShellBench twin
 # kept for comparison.
@@ -32,36 +39,57 @@ BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "bench_baseline.json")
 
 
-def run_local():
+def _bench(nx, ny, repeats):
     import jax
 
     import femo_alpha_tpu  # noqa: F401
     from femo_alpha_tpu.benchmarks import LibraryBench, ShellBench
 
     cls = LibraryBench if PIPELINE == "library" else ShellBench
-    b = cls(nx=NX, ny=NY)
-    out = b.timed_run(
-        repeats=1 if os.environ.get("FEMO_BENCH_CHILD") else 3)
+    b = cls(nx=nx, ny=ny)
+    out = b.timed_run(repeats=repeats)
     out["backend"] = jax.default_backend()
     return out
 
 
-def stored_cpu_baseline():
+def _key(nx, ny):
+    return f"{nx}x{ny}:{PIPELINE}"
+
+
+def _load_baselines():
     try:
         with open(BASELINE_FILE) as f:
             d = json.load(f)
-        if (d.get("nx") == NX and d.get("ny") == NY
-                and d.get("pipeline", "staged") == PIPELINE):
-            return d.get("cpu_wall_s")
     except Exception:
+        return {}
+    if "entries" in d:
+        return d["entries"]
+    # legacy single-entry format {"nx":..,"ny":..,"pipeline":..,"cpu_wall_s":..}
+    if "cpu_wall_s" in d:
+        k = f"{d.get('nx')}x{d.get('ny')}:{d.get('pipeline', 'staged')}"
+        return {k: d["cpu_wall_s"]}
+    return {}
+
+
+def _store_baseline(nx, ny, wall):
+    entries = _load_baselines()
+    entries[_key(nx, ny)] = wall
+    try:
+        with open(BASELINE_FILE, "w") as f:
+            json.dump({"entries": entries,
+                       "note": "CPU library-path walls measured on the "
+                               "1-core build host (see bench.py)"}, f,
+                      indent=1, sort_keys=True)
+    except OSError:
         pass
-    return None
 
 
-def run_cpu_subprocess(timeout=900):
+def run_cpu_subprocess(nx, ny, timeout=1800):
     env = dict(os.environ)
     env["FEMO_PLATFORM"] = "cpu"
     env["FEMO_BENCH_CHILD"] = "1"
+    env["FEMO_BENCH_NX"] = str(nx)
+    env["FEMO_BENCH_NY"] = str(ny)
     try:
         res = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -79,50 +107,71 @@ def run_cpu_subprocess(timeout=900):
     return None
 
 
+def cpu_wall_for(nx, ny, measure_if_missing):
+    stored = _load_baselines().get(_key(nx, ny))
+    if stored:
+        print(f"[bench] cpu baseline {nx}x{ny} (stored): {stored:.3f}s",
+              file=sys.stderr)
+        return stored
+    if not measure_if_missing:
+        return None
+    wall = run_cpu_subprocess(nx, ny)
+    if wall:
+        print(f"[bench] cpu baseline {nx}x{ny} (measured): {wall:.3f}s",
+              file=sys.stderr)
+        _store_baseline(nx, ny, wall)
+    return wall
+
+
+def report(out, nx, ny):
+    print(
+        f"[bench] {out['backend']} {nx}x{ny} ({out['n_dofs']} dofs): "
+        f"wall {out['wall_s']:.3f}s compile {out['compile_s']:.1f}s "
+        f"rel_res fwd/adj {out['res_fwd']:.2e}/{out['res_adj']:.2e} "
+        f"tip {out['tip']:.6e} J {out['J']:.6e}"
+        + (f" assembly {1e3 * out['assembly_s']:.1f}ms "
+           f"({out['assembly_mdof_s']:.1f} MDOF/s)"
+           if "assembly_s" in out else ""),
+        file=sys.stderr,
+    )
+
+
 def main():
-    out = run_local()
+    out = _bench(NX, NY, repeats=1 if os.environ.get("FEMO_BENCH_CHILD")
+                 else 3)
     if os.environ.get("FEMO_BENCH_CHILD"):
         print(json.dumps({"wall_s": out["wall_s"]}))
         return
-    print(
-        f"[bench] {out['backend']} {NX}x{NY} ({out['n_dofs']} dofs): "
-        f"wall {out['wall_s']:.3f}s compile {out['compile_s']:.1f}s "
-        f"iters fwd/adj {out['iters_fwd']}/{out['iters_adj']} "
-        f"rel_res fwd/adj {out['res_fwd']:.2e}/{out['res_adj']:.2e} "
-        f"tip {out['tip']:.6e} J {out['J']:.6e}",
-        file=sys.stderr,
-    )
-    cpu_wall = None
-    if out["backend"] != "cpu":
-        cpu_wall = stored_cpu_baseline()
-        if cpu_wall:
-            print(f"[bench] cpu baseline wall (stored): {cpu_wall:.3f}s",
-                  file=sys.stderr)
-        else:
-            cpu_wall = run_cpu_subprocess()
-            if cpu_wall:
-                print(f"[bench] cpu baseline wall: {cpu_wall:.3f}s",
-                      file=sys.stderr)
-                try:
-                    with open(BASELINE_FILE, "w") as f:
-                        json.dump({"nx": NX, "ny": NY,
-                                   "pipeline": PIPELINE,
-                                   "cpu_wall_s": cpu_wall}, f)
-                except OSError:
-                    pass
+    report(out, NX, NY)
+
+    on_device = out["backend"] != "cpu"
+    cpu_wall = cpu_wall_for(NX, NY, measure_if_missing=on_device)
     vs = (cpu_wall / out["wall_s"]) if cpu_wall else 1.0
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    f"rm_shell_fwd_adjoint_{out['n_dofs']}dofs_wall"
-                ),
-                "value": round(out["wall_s"], 4),
-                "unit": "s",
-                "vs_baseline": round(vs, 3),
-            }
-        )
-    )
+
+    result = {
+        "metric": f"rm_shell_fwd_adjoint_{out['n_dofs']}dofs_wall",
+        "value": round(out["wall_s"], 4),
+        "unit": "s",
+        "vs_baseline": round(vs, 3),
+    }
+
+    if on_device and not os.environ.get("FEMO_BENCH_SKIP_SCALE"):
+        sc = _bench(SCALE_NX, SCALE_NY, repeats=1)
+        report(sc, SCALE_NX, SCALE_NY)
+        # never burn driver time measuring a multi-minute CPU 1M point live:
+        # only a stored baseline is used for the scale speedup
+        sc_cpu = cpu_wall_for(SCALE_NX, SCALE_NY, measure_if_missing=False)
+        result["scale_point"] = {
+            "n_dofs": sc["n_dofs"],
+            "wall_s": round(sc["wall_s"], 4),
+            "compile_s": round(sc["compile_s"], 1),
+            "rel_res": float(f"{sc['res_fwd']:.2e}"),
+            "assembly_mdof_s": round(sc.get("assembly_mdof_s", 0.0), 1),
+            "vs_baseline": (round(sc_cpu / sc["wall_s"], 3)
+                            if sc_cpu else None),
+        }
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

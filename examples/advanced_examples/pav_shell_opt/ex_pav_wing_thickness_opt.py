@@ -45,10 +45,16 @@ h0, h_min, h_max = 0.005, 0.001, 0.02
 mesh = readFEAMesh(MESH)
 nel, nn = mesh.n_cells, mesh.n_nodes
 span = float(np.max(mesh.coords[:, 1]))
-print(f"pav wing: {nel} cells, {nn} nodes, span {span:.2f} m")
+print(f"pav wing: {nel} cells, {nn} nodes, span {span:.2f} m, "
+      f"tags {sorted(mesh.cell_tags)}")
 
+# per-physical-group stress outputs (skin=1, rib=2 from the .msh physical
+# names) — the reference's tagged-subdomain pnorms (rm_shell_model.py:457-462,
+# lpc workloads)
 model = RMShellModel(mesh, shell_bc_func=lambda x: x[:, 1] < 1e-9,
-                     element_wise_material=True, record=False)
+                     element_wise_material=True, record=False,
+                     mesh_tags={t: np.asarray(c)
+                                for t, c in mesh.cell_tags.items()})
 
 # elliptic spanwise lift distribution, ~2.5g pull-up on a 800 kg vehicle
 eta = np.clip(np.asarray(mesh.coords[:, 1]) / span, 0.0, 1.0)
@@ -70,6 +76,11 @@ mass0 = float(out0.mass)
 agg0 = float(out0.aggregated_stress)
 print(f"initial: mass {mass0:.3f} kg, aggregated stress {agg0/1e6:.1f} MPa,"
       f" tip disp {float(np.asarray(out0.disp_solid).max()):.4f} m")
+for t in sorted(mesh.cell_tags):
+    p = float(out0.to_dict()[f"pnorm_stress_{t}"])
+    # aggregated = (1/m) * pnorm^(1/rho) with m=1e-6, rho=100
+    # (AggregatedStressModel) -> in MPa that is just pnorm^0.01
+    print(f"  tag {t}: aggregated stress {p ** 0.01:.1f} MPa")
 
 if run_check_derivatives:
     from femo_alpha_tpu.adjoint import check_totals

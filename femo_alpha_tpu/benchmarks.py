@@ -578,6 +578,26 @@ class LibraryBench:
         rel = float(jnp.linalg.norm(solver.matvec(-out["u"]) - r0)
                     / jnp.linalg.norm(r0))
         tip = float(jnp.max(jnp.abs(out["u"])))
+        # assembly throughput: the per-design-iteration element re-assembly
+        # (affine AXPY combine when available, else full element_matrices) —
+        # the BASELINE.md "assembly MDOF/s" metric. Basis passed as a runtime
+        # arg (embedding it as a jit constant would be constant-folded per
+        # compile; see commit 6cd00a4).
+        emf = op.element_matrices_fn
+        basis = (emf.prepare(params)
+                 if emf is not None and hasattr(emf, "prepare") else None)
+        u0 = jnp.zeros(op.n_dofs)
+
+        @jax.jit
+        def _asm(th_, basis_):
+            p = dict(params)
+            p["thickness"] = th_
+            return op._assemble_ops(u0, p, emf_basis=basis_)
+
+        jax.block_until_ready(_asm(th, basis))
+        t0 = time.time()
+        jax.block_until_ready(_asm(th, basis))
+        assembly_s = time.time() - t0
         return dict(
             wall_s=float(np.median(times)),
             compile_s=float(compile_s),
@@ -587,4 +607,6 @@ class LibraryBench:
             tip=tip,
             J=float(out["J"]),
             grad_norm=float(jnp.linalg.norm(out["grad"])),
+            assembly_s=float(assembly_s),
+            assembly_mdof_s=float(self.n_dofs / max(assembly_s, 1e-12) / 1e6),
         )

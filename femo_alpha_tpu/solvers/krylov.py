@@ -135,6 +135,83 @@ def cg_solve_hostloop(matvec, b, x0=None, M=None, tol=1e-10, atol=0.0,
     return x, info
 
 
+def make_cg_chunk_df(matvec, M=None, chunk=40):
+    """Float-float twin of make_cg_chunk: the CG vector state (x, r, z, p)
+    lives as DF pairs (two f32 words, ~2^-48) and all dots/axpys run in
+    native-f32 float-float arithmetic instead of XLA's software f64; the
+    operator and preconditioner stay f64 callables (one exact f64<->DF
+    conversion per application — two casts + one add per element, cheap
+    next to streaming the element matrices).
+
+    Motivation: on TPU every f64 vector op is software-emulated; the
+    dot/axpy phase of the outer CG is a measurable slice of each iteration
+    (see COVERAGE.md perf notes and tools/df_microbench.py for the
+    measured decision)."""
+    import jax as _jax
+
+    from .dfloat import df_axpy, df_dot, df_from_f64, df_neg, df_to_f64
+
+    M = M or _identity
+
+    @_jax.jit
+    def run_chunk(x, r, z, p, rz64, target):
+        def body(_, st):
+            x, r, z, p, rz64 = st
+            Ap = df_from_f64(matvec(df_to_f64(p)))
+            pAp64 = df_to_f64(df_dot(p, Ap))
+            rnorm2 = df_to_f64(df_dot(r, r))
+            active = rnorm2 > target * target
+            alpha64 = jnp.where(
+                active, rz64 / jnp.where(pAp64 != 0, pAp64, 1.0), 0.0)
+            alpha = df_from_f64(alpha64)
+            x = df_axpy(alpha, p, x)
+            r = df_axpy(df_neg(alpha), Ap, r)
+            z = df_from_f64(M(df_to_f64(r)))
+            rz_new64 = df_to_f64(df_dot(r, z))
+            beta64 = jnp.where(
+                active, rz_new64 / jnp.where(rz64 != 0, rz64, 1.0), 0.0)
+            p = df_axpy(df_from_f64(beta64), p, z)
+            rz64 = jnp.where(active, rz_new64, rz64)
+            return (x, r, z, p, rz64)
+
+        x, r, z, p, rz64 = _jax.lax.fori_loop(
+            0, chunk, body, (x, r, z, p, rz64))
+        return x, r, z, p, rz64, jnp.sqrt(df_to_f64(df_dot(r, r)))
+
+    return run_chunk
+
+
+def cg_solve_hostloop_df(matvec, b, x0=None, M=None, tol=1e-10, atol=0.0,
+                         maxiter=1000, chunk=40, run_chunk=None):
+    """Host-driven PCG with float-float vector state (see make_cg_chunk_df).
+    Same contract as cg_solve_hostloop; b/x0 are f64, the returned x is f64
+    (accurate to ~2^-48 — below any FEM solve tolerance in use)."""
+    from .dfloat import df_from_f64, df_to_f64
+
+    M = M or _identity
+    if run_chunk is None:
+        run_chunk = make_cg_chunk_df(matvec, M, chunk)
+    x64 = jnp.zeros_like(b) if x0 is None else x0
+    bnorm = float(jnp.linalg.norm(b))
+    target = jnp.asarray(max(tol * bnorm, atol, 1e-300), b.dtype)
+    r64 = b - matvec(x64)
+    z64 = M(r64)
+    x, r, z, p = (df_from_f64(v) for v in (x64, r64, z64, z64))
+    rz64 = jnp.vdot(r64, z64)
+    it = 0
+    resnorm = float(jnp.linalg.norm(r64))
+    while resnorm > float(target) and it < maxiter:
+        x, r, z, p, rz64, rn = run_chunk(x, r, z, p, rz64, target)
+        resnorm = float(rn)
+        it += chunk
+    info = {
+        "iters": jnp.asarray(min(it, maxiter)),
+        "resnorm": jnp.asarray(resnorm),
+        "converged": resnorm <= float(target),
+    }
+    return df_to_f64(x), info
+
+
 def gmres_solve(matvec, b, x0=None, M=None, tol=1e-10, atol=0.0,
                 restart=50, maxiter=20):
     """Restarted GMRES via jax.scipy (left-preconditioned). Returns (x, info);

@@ -94,3 +94,25 @@ def test_df_cell_matvec_matches_f64():
     got = np.asarray(df.df_to_f64(jax.jit(df.df_cell_matvec_T)(
         df.df_from_f64(Ae), df.df_from_f64(xc))))
     assert np.linalg.norm(got - ref) <= 1e-12 * np.linalg.norm(ref)
+
+
+def test_cg_hostloop_df_matches_f64():
+    """Float-float CG (df vector state, f64 operator) must reach the same
+    solution as the f64 host-loop CG on an SPD system."""
+    from femo_alpha_tpu.solvers.krylov import (
+        cg_solve_hostloop, cg_solve_hostloop_df)
+
+    n = 300
+    rng = np.random.default_rng(3)
+    Q = np.linalg.qr(rng.standard_normal((n, n)))[0]
+    lam = np.linspace(1.0, 1e4, n)  # spd, cond 1e4
+    A = jnp.asarray((Q * lam) @ Q.T)
+    b = jnp.asarray(rng.standard_normal(n))
+    mv = lambda v: A @ v  # noqa: E731
+    x64, info64 = cg_solve_hostloop(mv, b, tol=1e-11, maxiter=3000)
+    xdf, infodf = cg_solve_hostloop_df(mv, b, tol=1e-11, maxiter=3000)
+    assert bool(infodf["converged"]), float(infodf["resnorm"])
+    # both at the same residual target -> same solution to solver tol
+    ref = np.linalg.solve(np.asarray(A), np.asarray(b))
+    assert np.linalg.norm(np.asarray(x64) - ref) <= 1e-9 * np.linalg.norm(ref)
+    assert np.linalg.norm(np.asarray(xdf) - ref) <= 1e-9 * np.linalg.norm(ref)
