@@ -342,3 +342,173 @@ class RMShellModel:
             self.m, self.rho).evaluate(out.pnorm_stress)
         log("RM shell model evaluation completed.")
         return out
+
+    # ---------------------------------------------------------------- modal
+    def evaluate_modal(
+        self,
+        thickness,
+        E,
+        nu,
+        density,
+        n_modes=6,
+        node_disp=None,
+        tol=1e-8,
+        maxiter=200,
+        seed=0,
+        solver="auto",
+    ):
+        """Natural frequencies + mode shapes: K phi = omega^2 M phi with the
+        shell stiffness (incl. drilling + penalty/strong BC) and the
+        consistent shell mass (inertia_form). Replaces the reference's dead
+        `evaluate_modal_fea` (rm_shell_model.py:284-361) — which assembled a
+        dense dK/dh AND dM/dh per thickness dof (~7 GB for a 10x50 mesh) —
+        with a matrix-free LOBPCG preconditioned by the model's own solve
+        preconditioner (MG V-cycle / band Cholesky), and with eigenvalue
+        gradients via the Rayleigh quotient: at a converged pair,
+        lam(p) = phi^T K(p) phi / phi^T M(p) phi is stationary in phi, so
+        differentiating the assembled quotient at fixed phi gives exact
+        d lam/d(thickness, E, nu, density) for free.
+
+        Inputs in the CALLER's ordering (reordered like `evaluate`). Returns
+        a VariableGroup: `eigenvalues` (k, differentiable), `frequencies`
+        (Hz, differentiable), `modes` (n_dofs, k; M-orthonormal),
+        `modes_extracted` (k, n_nodes, 3), `res_norms`, `iterations`, and
+        `eig_fn(thickness, E, nu, density) -> (k,)` — the Rayleigh-quotient
+        eigenvalue map at the converged modes, for `jax.grad`.
+
+        solver: 'auto' (dense below ~6k dofs, LOBPCG above), 'dense', or
+        'lobpcg'.
+        """
+        import jax
+        from ...assembly.assemble import (
+            assemble_residual, assemble_scalar, element_matrices,
+            make_matvec,
+        )
+        from ...fea.model import VariableGroup
+        from ...solvers.eigen import dense_generalized_eigh, lobpcg
+
+        pde = self.shell_pde
+        ipde = self.fea.states["disp_solid"].pde
+        n = pde.W.n_dofs
+        igi = self.mesh.input_global_indices
+        oci = self.mesh.original_cell_index
+        mat_idx = (
+            np.asarray(oci)
+            if self.element_wise_material and oci is not None
+            else (np.asarray(igi) if igi is not None else None)
+        )
+
+        def reorder(v, idx):
+            v = jnp.asarray(v)
+            return v if idx is None else v[jnp.asarray(np.asarray(idx))]
+
+        if node_disp is None:
+            uhat = jnp.zeros(pde.VU.n_dofs)
+        else:
+            nd = jnp.asarray(node_disp)
+            if igi is not None:
+                nd = nd[jnp.asarray(np.asarray(igi))]
+            uhat = nd.reshape(-1)
+
+        def fe_params(th, E_, nu_, rho_):
+            """Caller-ordered material inputs -> (residual params, mass
+            params) in FE order. Zero load: residual(u) is then K(p) u."""
+            p = {
+                "thickness": reorder(th, mat_idx).reshape(-1),
+                "E": reorder(E_, mat_idx).reshape(-1),
+                "nu": reorder(nu_, mat_idx).reshape(-1),
+                "F_solid": jnp.zeros(pde.VF.n_dofs),
+                "uhat": uhat,
+            }
+            mp = {"thickness": p["thickness"],
+                  "density": reorder(rho_, mat_idx).reshape(-1)}
+            return p, mp
+
+        params, mpar = fe_params(thickness, E, nu, density)
+        u0 = jnp.zeros(n)
+        mform = pde.inertia_form()
+        Me = element_matrices(mform, u0, mpar)
+        fm = ipde.free_mask
+        free_idx = np.where(np.asarray(fm) > 0.0)[0]
+        k = int(n_modes)
+        if k > free_idx.size:
+            raise ValueError(f"n_modes={k} exceeds {free_idx.size} free dofs")
+
+        log(f"Modal analysis: {k} modes, {n} dofs ...")
+        use_dense = (solver == "dense") or (
+            solver == "auto"
+            and (n <= 6000 or ipde.solver_opts.get("method") == "dense"))
+        if use_dense:
+            from ...solvers.direct import dense_from_elements
+
+            ops_Ae = ipde._assemble_ops(u0, params)
+            Kd = jnp.zeros((n, n))
+            for Ae, spec in zip(ops_Ae, ipde._op_specs):
+                dm = spec.dofmap_d if hasattr(spec, "dofmap_d") else spec
+                Kd = Kd + dense_from_elements(Ae, dm, n)
+            Md = dense_from_elements(Me, pde.W.dofmap_d, n)
+            ix = jnp.asarray(free_idx)
+            lam, Phif = dense_generalized_eigh(
+                Kd[jnp.ix_(ix, ix)], Md[jnp.ix_(ix, ix)], k)
+            X = jnp.zeros((n, k)).at[ix].set(Phif)
+            res = jnp.zeros(k)
+            iters = 0
+        else:
+            ls = ipde.make_solver(u0, params)
+            Mmv = make_matvec(Me, pde.W, n)
+
+            def Kop(v):
+                return fm * ls.matvec(v)
+
+            def Mop(v):
+                return fm * Mmv(fm * v)
+
+            # preconditioner: the solve path's MG V-cycle / band apply; on
+            # the dense solver path, its exact LU (K^-1 is the ideal T)
+            if ls.M is not None:
+                Top = lambda v: fm * ls.M(v)  # noqa: E731
+            elif ls._dense is not None:
+                Top = lambda v: fm * ls._dense.solve(v)  # noqa: E731
+            else:
+                Top = lambda v: v  # noqa: E731
+            rng = np.random.default_rng(seed)
+            X0 = jnp.asarray(rng.standard_normal((n, k)))
+            lam, X, res, iters = lobpcg(
+                Kop, Mop, X0, T=Top, tol=tol, maxiter=maxiter, free_mask=fm)
+            if bool(jnp.any(res > 10 * tol)):
+                log(f"modal: LOBPCG residuals {np.asarray(res)} after "
+                    f"{iters} iterations (tol {tol})")
+
+        # differentiable eigenvalues: Rayleigh quotient at the (fixed)
+        # converged eigenvectors — num = phi^T K(p) phi via one residual
+        # assembly (zero load), den = 2 * inertia energy
+        Xc = jax.lax.stop_gradient(X)
+
+        def eig_fn(th, E_, nu_, rho_):
+            p, mp = fe_params(th, E_, nu_, rho_)
+
+            def rayleigh(phi):
+                r = assemble_residual(ipde.form, phi, p)
+                for ff in ipde.facet_forms:
+                    r = r + ff.assemble_residual(phi, p)
+                num = jnp.vdot(phi, r)
+                den = 2.0 * assemble_scalar(mform, phi, mp)
+                return num / den
+
+            return jnp.stack([rayleigh(Xc[:, i]) for i in range(k)])
+
+        lam_d = eig_fn(thickness, E, nu, density)
+        freqs = jnp.sqrt(jnp.maximum(lam_d, 0.0)) / (2.0 * np.pi)
+        modes_x = jnp.stack(
+            [DisplacementExtractionModel(pde).evaluate(X[:, i])
+             for i in range(k)])
+        log("Modal analysis completed.")
+        return VariableGroup(
+            eigenvalues=lam_d,
+            frequencies=freqs,
+            modes=X,
+            modes_extracted=modes_x,
+            res_norms=res,
+            iterations=iters,
+            eig_fn=eig_fn,
+        )

@@ -5,8 +5,11 @@ from .newton import newton_solve
 from .linear import LinearSolver
 from .multigrid import GeometricMG, make_space_transfer
 from .band import BandCholPrecond, band_precond_factory
+from .eigen import lobpcg, dense_generalized_eigh
 
 __all__ = [
+    "lobpcg",
+    "dense_generalized_eigh",
     "cg_solve",
     "cg_solve_hostloop",
     "gmres_solve",

@@ -212,7 +212,10 @@ def test_composite_clt_single_layer_matches_isotropic():
     out_c = _solve(mesh2, model_c)
     u = np.asarray(out.disp_solid)
     uc = np.asarray(out_c.disp_solid)
-    assert np.allclose(u, uc, rtol=1e-9, atol=1e-14)
+    # atol floors the near-zero entries (clamped-edge dofs land at the CG
+    # roundoff level ~1e-14, which wobbles run to run); 1e-12 is still 1e-9
+    # of the ~1e-3 displacement scale
+    assert np.allclose(u, uc, rtol=1e-9, atol=1e-12)
     assert np.isclose(float(out.compliance), float(out_c.compliance),
                       rtol=1e-9)
 
