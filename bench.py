@@ -56,12 +56,16 @@ def _key(nx, ny):
     return f"{nx}x{ny}:{PIPELINE}"
 
 
-def _load_baselines():
+def _load_baseline_file():
     try:
         with open(BASELINE_FILE) as f:
-            d = json.load(f)
+            return json.load(f)
     except Exception:
         return {}
+
+
+def _load_baselines():
+    d = _load_baseline_file()
     if "entries" in d:
         return d["entries"]
     # legacy single-entry format {"nx":..,"ny":..,"pipeline":..,"cpu_wall_s":..}
@@ -72,14 +76,15 @@ def _load_baselines():
 
 
 def _store_baseline(nx, ny, wall):
+    d = _load_baseline_file()
     entries = _load_baselines()
     entries[_key(nx, ny)] = wall
+    d["entries"] = entries
+    d["note"] = ("CPU library-path walls measured on the 1-core build host"
+                 " (see bench.py)")
     try:
         with open(BASELINE_FILE, "w") as f:
-            json.dump({"entries": entries,
-                       "note": "CPU library-path walls measured on the "
-                               "1-core build host (see bench.py)"}, f,
-                      indent=1, sort_keys=True)
+            json.dump(d, f, indent=1, sort_keys=True)
     except OSError:
         pass
 
@@ -170,6 +175,15 @@ def main():
             "vs_baseline": (round(sc_cpu / sc["wall_s"], 3)
                             if sc_cpu else None),
         }
+        if not sc_cpu:
+            # a measured LOWER BOUND (the CPU run hit a timeout cap) gives
+            # an honest "at least Nx" figure without claiming a wall
+            lb = _load_baseline_file().get("lower_bounds", {}).get(
+                _key(SCALE_NX, SCALE_NY))
+            if lb:
+                result["scale_point"]["cpu_lower_bound_s"] = lb
+                result["scale_point"]["vs_baseline_at_least"] = round(
+                    lb / sc["wall_s"], 3)
 
     print(json.dumps(result))
 
