@@ -237,6 +237,51 @@ class PlateSim:
         also returns the per-step relative linear-solve residuals
         (time_levels-1,) so callers can assert the fixed-trip inner CG
         actually converged in their dt/mesh/stiffness regime."""
+        K_mv, M_mv, A_c, solve_A = self._solver_context(t_arr)
+        dt = self.dt
+        n = self.fe_dofs
+        free = self.free_mask
+
+        F_all = jax.vmap(lambda f: self.assemble_load(f))(f_history)
+        if self.add_self_weight:
+            F_all = F_all + self.self_weight_vector(t_arr)[None, :]
+
+        w0 = jnp.zeros(n)
+        wd0 = jnp.zeros(n)
+
+        def step(carry, F_i):
+            w_old, wdot_old = carry
+            b = (
+                F_i
+                + (2.0 / dt**2) * M_mv(w_old)
+                + (2.0 / dt) * M_mv(wdot_old)
+                - 0.5 * K_mv(w_old)
+            )
+            b = free * b  # zero Dirichlet rows (bc values are zero)
+            w = solve_A(b)
+            wdot = (2.0 / dt) * (w - w_old) - wdot_old
+            if with_residuals:
+                # one extra matvec per step: the true relative residual of
+                # the (possibly fixed-trip) linear solve — solver telemetry,
+                # not part of the differentiated computation
+                w_sg = jax.lax.stop_gradient(w)
+                b_sg = jax.lax.stop_gradient(b)
+                rrel = jnp.linalg.norm(b_sg - A_c(w_sg)) / jnp.maximum(
+                    jnp.linalg.norm(b_sg), 1e-300)
+                return (w, wdot), (w, rrel)
+            return (w, wdot), w
+
+        (_, _), out = jax.lax.scan(step, (w0, wd0), F_all[1:])
+        if with_residuals:
+            ws, rrels = out
+            return jnp.concatenate([w0[None, :], ws], axis=0), rrels
+        return jnp.concatenate([w0[None, :], out], axis=0)
+
+    def _solver_context(self, t_arr):
+        """Shared per-simulation solver setup: element operators, the
+        constrained step operator A = (2/dt^2)M + K/2, and its
+        differentiable solve (custom_linear_solve over the configured inner
+        solver). Used by `simulate` and `simulate_outputs`."""
         dt = self.dt
         n = self.fe_dofs
         Ke, Me = self._element_mats(t_arr)
@@ -312,14 +357,52 @@ class PlateSim:
             return jax.lax.custom_linear_solve(
                 A_c, b, inner_solve, symmetric=True)
 
+        return K_mv, M_mv, A_c, solve_A
+
+    def simulate_outputs(self, t_arr, f_history, segment_len=None,
+                         with_residuals=False):
+        """Long-horizon transient solve with ONLINE outputs: total strain
+        energy, per-step scalar histories (strain energy, tip displacement),
+        and the final state — WITHOUT materializing the (time_levels,
+        fe_dofs) displacement history.
+
+        The time loop runs as a two-level scan with `jax.checkpoint` on the
+        inner segment, so reverse-mode memory is O(sqrt(N_t) * n) (segment
+        boundary states + one recomputed segment) instead of the O(N_t * n)
+        history the plain scan adjoint stores. This is the long-horizon
+        scaling upgrade over the reference's transient adjoint, which keeps
+        the FULL history as the operation state plus an O(N_t^2) matrix of
+        coupling vectors (state_operation_dynamic.py:91-94, :610-614).
+
+        Per-step strain energy is 0.5 w^T K w via the already-assembled
+        element operator (== assemble_scalar of the quadratic energy form).
+        segment_len: inner-scan length; defaults to the divisor of N_t
+        nearest sqrt(N_t). Returns a dict: total_strain_energy,
+        energy_history (N_t,), tip_history (N_t,), w_final, wdot_final
+        [, res_history].
+        """
+        K_mv, M_mv, A_c, solve_A = self._solver_context(t_arr)
+        dt = self.dt
+        n = self.fe_dofs
+        free = self.free_mask
+
         F_all = jax.vmap(lambda f: self.assemble_load(f))(f_history)
         if self.add_self_weight:
             F_all = F_all + self.self_weight_vector(t_arr)[None, :]
+        steps = F_all[1:]
+        n_t = steps.shape[0]
 
-        w0 = jnp.zeros(n)
-        wd0 = jnp.zeros(n)
+        if segment_len is None:
+            target = max(1, int(np.sqrt(n_t)))
+            divisors = [d for d in range(1, n_t + 1) if n_t % d == 0]
+            segment_len = min(divisors, key=lambda d: abs(d - target))
+        if n_t % segment_len != 0:
+            raise ValueError(
+                f"segment_len={segment_len} must divide N_t={n_t}")
+        n_seg = n_t // segment_len
+        segs = steps.reshape(n_seg, segment_len, n)
 
-        def step(carry, F_i):
+        def inner_step(carry, F_i):
             w_old, wdot_old = carry
             b = (
                 F_i
@@ -327,25 +410,36 @@ class PlateSim:
                 + (2.0 / dt) * M_mv(wdot_old)
                 - 0.5 * K_mv(w_old)
             )
-            b = free * b  # zero Dirichlet rows (bc values are zero)
+            b = free * b
             w = solve_A(b)
             wdot = (2.0 / dt) * (w - w_old) - wdot_old
+            e_t = 0.5 * jnp.vdot(w, K_mv(w))
+            outs = (e_t, self.tip_disp(w))
             if with_residuals:
-                # one extra matvec per step: the true relative residual of
-                # the (possibly fixed-trip) linear solve — solver telemetry,
-                # not part of the differentiated computation
                 w_sg = jax.lax.stop_gradient(w)
                 b_sg = jax.lax.stop_gradient(b)
                 rrel = jnp.linalg.norm(b_sg - A_c(w_sg)) / jnp.maximum(
                     jnp.linalg.norm(b_sg), 1e-300)
-                return (w, wdot), (w, rrel)
-            return (w, wdot), w
+                outs = outs + (rrel,)
+            return (w, wdot), outs
 
-        (_, _), out = jax.lax.scan(step, (w0, wd0), F_all[1:])
+        @jax.checkpoint
+        def run_segment(carry, F_seg):
+            return jax.lax.scan(inner_step, carry, F_seg)
+
+        (w_f, wd_f), outs = jax.lax.scan(
+            run_segment, (jnp.zeros(n), jnp.zeros(n)), segs)
+        e_hist = outs[0].reshape(n_t)
+        out = {
+            "total_strain_energy": jnp.sum(e_hist),
+            "energy_history": e_hist,
+            "tip_history": outs[1].reshape(n_t),
+            "w_final": w_f,
+            "wdot_final": wd_f,
+        }
         if with_residuals:
-            ws, rrels = out
-            return jnp.concatenate([w0[None, :], ws], axis=0), rrels
-        return jnp.concatenate([w0[None, :], out], axis=0)
+            out["res_history"] = outs[2].reshape(n_t)
+        return out
 
     # ----------------------------------------------------- parity interface
     def SVK_residual(self):

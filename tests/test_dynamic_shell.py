@@ -150,3 +150,42 @@ def test_unstructured_mesh_falls_back_cleanly():
     fh = jnp.zeros((4, s.W_f.n_dofs)).at[:, 2::3].set(10.0)
     wh = s.simulate(th, fh)
     assert np.isfinite(np.asarray(wh)).all()
+
+
+def test_simulate_outputs_matches_history_path(sim):
+    """Long-horizon online-output mode (two-level checkpointed scan, no
+    materialized history): values AND thickness gradients must match the
+    plain-history path; checkpointing must not perturb the adjoint."""
+    import jax
+
+    th = sim.t_array
+    fh = jnp.asarray(sim.f_history)
+    wh = sim.simulate(th, fh)
+    se_hist = sim.strain_energy_history(wh, th)
+
+    out = sim.simulate_outputs(th, fh, segment_len=5, with_residuals=True)
+    # N_t per-step scalars (history row 0 is the zero initial condition)
+    np.testing.assert_allclose(np.asarray(out["energy_history"]),
+                               np.asarray(se_hist)[1:], rtol=1e-9)
+    assert abs(float(out["total_strain_energy"])
+               - float(jnp.sum(se_hist))) <= 1e-9 * float(jnp.sum(se_hist))
+    np.testing.assert_allclose(np.asarray(out["w_final"]),
+                               np.asarray(wh)[-1], rtol=0, atol=1e-12)
+    tips = np.asarray([sim.tip_disp(w) for w in np.asarray(wh)[1:]])
+    np.testing.assert_allclose(np.asarray(out["tip_history"]), tips,
+                               rtol=1e-10, atol=1e-14)
+    assert np.all(np.asarray(out["res_history"]) < 1e-9)
+
+    # default segment choice: nearest divisor of N_t to sqrt(N_t)
+    out_d = sim.simulate_outputs(th, fh)
+    np.testing.assert_allclose(float(out_d["total_strain_energy"]),
+                               float(out["total_strain_energy"]), rtol=1e-12)
+
+    g_hist = jax.grad(
+        lambda t: jnp.sum(sim.strain_energy_history(sim.simulate(t, fh), t))
+    )(th)
+    g_onl = jax.grad(
+        lambda t: sim.simulate_outputs(t, fh, segment_len=5)[
+            "total_strain_energy"])(th)
+    np.testing.assert_allclose(np.asarray(g_onl), np.asarray(g_hist),
+                               rtol=1e-8)
