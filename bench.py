@@ -141,7 +141,32 @@ def report(out, nx, ny):
     )
 
 
+def _probe_backend(timeout=420):
+    """TPU-tunnel outages make jax backend init hang forever (observed:
+    jax.devices() blocked >10 min with 0% CPU). Probe the default backend in
+    a SUBPROCESS with a timeout and fall back to CPU on failure so the
+    driver always gets a result line instead of a hang. An explicit
+    FEMO_PLATFORM wins; the probe exits before this process initializes its
+    own client, so there is no double-client conflict."""
+    if os.environ.get("FEMO_PLATFORM"):
+        return
+    code = ("import jax, jax.numpy as jnp; jax.devices(); "
+            "(jnp.ones((8, 8)) @ jnp.ones((8, 8))).block_until_ready(); "
+            "print(jax.default_backend())")
+    try:
+        res = subprocess.run([sys.executable, "-c", code], timeout=timeout,
+                             capture_output=True, text=True)
+        ok = res.returncode == 0
+    except subprocess.TimeoutExpired:
+        ok = False
+    if not ok:
+        print("[bench] device backend unreachable within "
+              f"{timeout}s; falling back to CPU", file=sys.stderr)
+        os.environ["FEMO_PLATFORM"] = "cpu"
+
+
 def main():
+    _probe_backend()
     out = _bench(NX, NY, repeats=1 if os.environ.get("FEMO_BENCH_CHILD")
                  else 3)
     if os.environ.get("FEMO_BENCH_CHILD"):
