@@ -75,3 +75,15 @@ out = ev(dvs)
 print(f"optimized mass: {float(out['mass']):.4f} kg "
       f"(constraint E <= {max_strain_energy:.6g}, "
       f"achieved {float(out['total_strain_energy']):.6g})")
+
+# ---- long-horizon variant -------------------------------------------------
+# For gust horizons where the (time_levels, fe_dofs) history no longer fits
+# (1M dofs x hundreds of steps), the ONLINE-output mode computes the same
+# objective/constraint without materializing the history: two-level
+# checkpointed scan, adjoint memory O(sqrt(N_t) * n). Gradients match the
+# history path to 1e-8 (tests/test_dynamic_shell.py).
+onl = sim.simulate_outputs(jnp.asarray(dvs["thickness"]),
+                           jnp.asarray(sim.f_history))
+print(f"online-mode check: total strain energy "
+      f"{float(onl['total_strain_energy']):.6g} "
+      f"(history path {float(out['total_strain_energy']):.6g})")

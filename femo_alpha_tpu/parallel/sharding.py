@@ -255,3 +255,109 @@ class ShardedShellStep:
             return jnp.vdot(F, u)
 
         return jax.value_and_grad(compliance)(thickness)
+
+
+class ShardedPlateStep:
+    """Multi-chip TRANSIENT training step: implicit-midpoint RM plate time
+    loop with cell-sharded operators, differentiated end-to-end.
+
+    The stiffness and consistent-mass element matrices are assembled once
+    per step call on their owning shards (ShardedAssembler.make_matvec) and
+    reused by every time step; the lax.scan body's matvecs and the inner CG
+    of each custom_linear_solve run SPMD (gather -> local cell matvec ->
+    scatter-add -> psum over ICI), with dof vectors replicated. This extends
+    the static multi-chip path (ShardedShellStep) to the reference's
+    dynamic workload (SURVEY.md §3.3): the sharding analogue of
+    data-parallelism over cells, scanned over the time axis.
+    """
+
+    def __init__(self, nx=8, ny=4, dt=0.01, nsteps=4, jmesh=None,
+                 bc_func=None):
+        from ..mesh import createRectangleMesh
+        from ..models.rm_shell.pde import RMShellPDE
+
+        self.jmesh = jmesh or make_device_mesh()
+        self.dt, self.nsteps = float(dt), int(nsteps)
+        mesh = createRectangleMesh(nx, ny, (0, 0), (10.0, 2.0), "quad",
+                                   gdim=3)
+        self.mesh = mesh
+        pde = self.pde = RMShellPDE(mesh, element_wise_material=True,
+                                    inplane_deg=2, shear_deg=2, stress_deg=2)
+        from ..spaces import locate_dofs_geometric
+
+        bc_func = bc_func or (lambda x: x[:, 0] < 1e-12)
+        d1 = locate_dofs_geometric(pde.V_disp, bc_func)
+        d2 = locate_dofs_geometric(pde.V_rot, bc_func)
+        dofs = np.concatenate([d1, d2 + pde.V_disp.n_dofs])
+        self.free_mask, _ = combine_bcs(pde.W.n_dofs,
+                                        [DirichletBC(dofs, 0.0)])
+        self.kform = pde.make_residual_form()
+        self.mform = pde.inertia_form()  # params: thickness, density
+        self.k_asm = ShardedAssembler(self.kform, self.jmesh)
+        self.m_asm = ShardedAssembler(self.mform, self.jmesh)
+        self.n = pde.W.n_dofs
+        nel = mesh.n_cells
+        self.example_thickness = jnp.full(pde.VT.n_dofs, 0.05)
+        f = np.zeros((mesh.n_nodes, 3))
+        f[:, 2] = 500.0
+        # constant-in-time force history (time_levels, 3*nn)
+        self.example_f_history = jnp.tile(f.reshape(1, -1),
+                                          (self.nsteps + 1, 1))
+        self._rho = jnp.full(nel, 10.0)
+
+    def _k_params(self, thickness, f_vec):
+        return {
+            "thickness": thickness,
+            "E": jnp.full_like(thickness, 4.32e8),
+            "nu": jnp.zeros_like(thickness),
+            "uhat": jnp.zeros(self.pde.VU.n_dofs),
+            "F_solid": f_vec,
+        }
+
+    def total_strain_energy(self, thickness, f_history):
+        """Differentiable total strain energy of the implicit-midpoint
+        trajectory (sum over steps of 0.5 w^T K w)."""
+        dt = self.dt
+        n = self.n
+        free = self.free_mask
+        zero_f = jnp.zeros_like(f_history[0])
+        pk = self._k_params(thickness, zero_f)
+        K_mv = self.k_asm.make_matvec(jnp.zeros(n), pk)
+        M_mv = self.m_asm.make_matvec(
+            jnp.zeros(n), {"thickness": thickness, "density": self._rho})
+
+        def A_mv(x):
+            return (2.0 / dt**2) * M_mv(x) + 0.5 * K_mv(x)
+
+        A_c = constrain_matvec(A_mv, free)
+
+        def inner(op, rhs):
+            x, _ = cg_solve(op, rhs, tol=1e-11, maxiter=4000)
+            return x
+
+        # per-level consistent load vectors: the residual at u=0 with the
+        # force field installed is exactly -F (load-work energy gradient)
+        F_all = jnp.stack([
+            -self.k_asm.residual(jnp.zeros(n),
+                                 self._k_params(thickness, f_history[i]))
+            for i in range(1, self.nsteps + 1)
+        ])
+
+        def step(carry, F_i):
+            w_old, wdot_old = carry
+            b = (F_i + (2.0 / dt**2) * M_mv(w_old)
+                 + (2.0 / dt) * M_mv(wdot_old) - 0.5 * K_mv(w_old))
+            b = free * b
+            w = jax.lax.custom_linear_solve(A_c, b, inner, symmetric=True)
+            wdot = (2.0 / dt) * (w - w_old) - wdot_old
+            e_t = 0.5 * jnp.vdot(w, K_mv(w))
+            return (w, wdot), e_t
+
+        (_, _), e_hist = jax.lax.scan(
+            step, (jnp.zeros(n), jnp.zeros(n)), F_all)
+        return jnp.sum(e_hist)
+
+    def train_step(self, thickness, f_history):
+        """value_and_grad of the gust-style objective w.r.t. thickness."""
+        return jax.value_and_grad(self.total_strain_energy)(
+            thickness, f_history)

@@ -79,3 +79,23 @@ def test_sharded_mg_matches_single_device_mg():
     assert abs(float(v8) - float(vj)) < 1e-8 * max(1, abs(float(vj)))
     assert np.linalg.norm(g8 - np.asarray(gj)) < (
         1e-5 * np.linalg.norm(np.asarray(gj)))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_transient_step_matches_replicated():
+    """Multi-chip TRANSIENT path (implicit-midpoint scan over cell-sharded
+    operators): total strain energy and its thickness gradient on the
+    8-device mesh must match the single-device run."""
+    from femo_alpha_tpu.parallel.sharding import ShardedPlateStep
+
+    kw = dict(nx=8, ny=4, dt=0.01, nsteps=3)
+    s8 = ShardedPlateStep(jmesh=make_device_mesh(8), **kw)
+    v8, g8 = jax.jit(s8.train_step)(s8.example_thickness,
+                                    s8.example_f_history)
+    s1 = ShardedPlateStep(jmesh=make_device_mesh(1), **kw)
+    v1, g1 = jax.jit(s1.train_step)(s1.example_thickness,
+                                    s1.example_f_history)
+    assert float(v1) > 0.0
+    assert abs(float(v8) - float(v1)) < 1e-9 * abs(float(v1))
+    g8, g1 = np.asarray(g8), np.asarray(g1)
+    assert np.linalg.norm(g8 - g1) < 1e-6 * np.linalg.norm(g1)
