@@ -380,50 +380,14 @@ class RMShellModel:
         'lobpcg'.
         """
         import jax
-        from ...assembly.assemble import (
-            assemble_residual, assemble_scalar, element_matrices,
-            make_matvec,
-        )
+        from ...assembly.assemble import element_matrices, make_matvec
         from ...fea.model import VariableGroup
         from ...solvers.eigen import dense_generalized_eigh, lobpcg
 
         pde = self.shell_pde
         ipde = self.fea.states["disp_solid"].pde
         n = pde.W.n_dofs
-        igi = self.mesh.input_global_indices
-        oci = self.mesh.original_cell_index
-        mat_idx = (
-            np.asarray(oci)
-            if self.element_wise_material and oci is not None
-            else (np.asarray(igi) if igi is not None else None)
-        )
-
-        def reorder(v, idx):
-            v = jnp.asarray(v)
-            return v if idx is None else v[jnp.asarray(np.asarray(idx))]
-
-        if node_disp is None:
-            uhat = jnp.zeros(pde.VU.n_dofs)
-        else:
-            nd = jnp.asarray(node_disp)
-            if igi is not None:
-                nd = nd[jnp.asarray(np.asarray(igi))]
-            uhat = nd.reshape(-1)
-
-        def fe_params(th, E_, nu_, rho_):
-            """Caller-ordered material inputs -> (residual params, mass
-            params) in FE order. Zero load: residual(u) is then K(p) u."""
-            p = {
-                "thickness": reorder(th, mat_idx).reshape(-1),
-                "E": reorder(E_, mat_idx).reshape(-1),
-                "nu": reorder(nu_, mat_idx).reshape(-1),
-                "F_solid": jnp.zeros(pde.VF.n_dofs),
-                "uhat": uhat,
-            }
-            mp = {"thickness": p["thickness"],
-                  "density": reorder(rho_, mat_idx).reshape(-1)}
-            return p, mp
-
+        fe_params = self._modal_fe_params(node_disp)
         params, mpar = fe_params(thickness, E, nu, density)
         u0 = jnp.zeros(n)
         mform = pde.inertia_form()
@@ -485,17 +449,7 @@ class RMShellModel:
         Xc = jax.lax.stop_gradient(X)
 
         def eig_fn(th, E_, nu_, rho_):
-            p, mp = fe_params(th, E_, nu_, rho_)
-
-            def rayleigh(phi):
-                r = assemble_residual(ipde.form, phi, p)
-                for ff in ipde.facet_forms:
-                    r = r + ff.assemble_residual(phi, p)
-                num = jnp.vdot(phi, r)
-                den = 2.0 * assemble_scalar(mform, phi, mp)
-                return num / den
-
-            return jnp.stack([rayleigh(Xc[:, i]) for i in range(k)])
+            return self._modal_rayleigh(Xc, th, E_, nu_, rho_, node_disp)
 
         lam_d = eig_fn(thickness, E, nu, density)
         freqs = jnp.sqrt(jnp.maximum(lam_d, 0.0)) / (2.0 * np.pi)
@@ -512,3 +466,141 @@ class RMShellModel:
             iterations=iters,
             eig_fn=eig_fn,
         )
+
+    def _modal_fe_params(self, node_disp):
+        """Returns fe_params(th, E, nu, rho) -> (residual params, mass
+        params) mapping caller-ordered material inputs to FE order (zero
+        load: the residual at u is then exactly K(p) u). Traceable."""
+        pde = self.shell_pde
+        igi = self.mesh.input_global_indices
+        oci = self.mesh.original_cell_index
+        mat_idx = (
+            np.asarray(oci)
+            if self.element_wise_material and oci is not None
+            else (np.asarray(igi) if igi is not None else None)
+        )
+
+        def reorder(v, idx):
+            v = jnp.asarray(v)
+            return v if idx is None else v[jnp.asarray(np.asarray(idx))]
+
+        if node_disp is None:
+            uhat = jnp.zeros(pde.VU.n_dofs)
+        else:
+            nd = jnp.asarray(node_disp)
+            if igi is not None:
+                nd = nd[jnp.asarray(np.asarray(igi))]
+            uhat = nd.reshape(-1)
+
+        def fe_params(th, E_, nu_, rho_):
+            p = {
+                "thickness": reorder(th, mat_idx).reshape(-1),
+                "E": reorder(E_, mat_idx).reshape(-1),
+                "nu": reorder(nu_, mat_idx).reshape(-1),
+                "F_solid": jnp.zeros(pde.VF.n_dofs),
+                "uhat": uhat,
+            }
+            mp = {"thickness": p["thickness"],
+                  "density": reorder(rho_, mat_idx).reshape(-1)}
+            return p, mp
+
+        return fe_params
+
+    def _modal_rayleigh(self, X, thickness, E, nu, density, node_disp=None):
+        """Stacked Rayleigh quotients lam_i(p) = phi_i^T K(p) phi_i /
+        phi_i^T M(p) phi_i at FIXED modes X — exact eigenvalue map near the
+        converged eigenvectors (stationarity), fully traceable."""
+        from ...assembly.assemble import assemble_residual, assemble_scalar
+
+        ipde = self.fea.states["disp_solid"].pde
+        mform = self.shell_pde.inertia_form()
+        p, mp = self._modal_fe_params(node_disp)(thickness, E, nu, density)
+        X = jnp.asarray(X)
+
+        def rayleigh(phi):
+            r = assemble_residual(ipde.form, phi, p)
+            for ff in ipde.facet_forms:
+                r = r + ff.assemble_residual(phi, p)
+            num = jnp.vdot(phi, r)
+            den = 2.0 * assemble_scalar(mform, phi, mp)
+            return num / den
+
+        return jnp.stack([rayleigh(X[:, i]) for i in range(X.shape[1])])
+
+    def modal_eigenvalues(self, thickness, E, nu, density, n_modes=6,
+                          node_disp=None, **opts):
+        """jit/grad-compatible smallest eigenvalues (omega^2, ascending).
+
+        The eigensolve itself (LOBPCG/dense, host-driven) runs inside a
+        `jax.pure_callback` and yields the modes with the gradient path
+        stopped; the returned eigenvalues are the Rayleigh quotients at
+        those modes, so the whole map is traceable and its `jax.grad` is
+        the exact eigenvalue derivative (eigenvector stationarity). This is
+        what lets frequency constraints sit directly inside
+        `OptimizationProblem` next to mass/stress outputs — each objective/
+        constraint evaluation re-solves the eigenproblem, exactly as the
+        reference re-solves its PDE per design iteration.
+
+        Use under EAGER autodiff (`jax.grad`/`value_and_grad` without jit;
+        `OptimizationProblem(ev, jit=False)`): inside a jitted program the
+        callback executes on the XLA runtime's worker thread, and its
+        nested jax executions (the eigensolve) can deadlock against the
+        outer program on hosts with few cores (observed nondeterministically
+        on a 1-core CPU box; eager runs are re-entrancy-safe because the
+        callback executes synchronously on the caller's thread)."""
+        import jax
+
+        k = int(n_modes)
+        n = self.shell_pde.W.n_dofs
+        if not hasattr(self, "_modal_modes_cache"):
+            self._modal_modes_cache = {}
+        cache = self._modal_modes_cache
+        tok = (k, tuple(sorted(opts.items())),
+               None if node_disp is None
+               else np.asarray(node_disp).tobytes())
+
+        def host(th, E_, nu_, rho_):
+            # memoize on the design point: SLSQP evaluates objective,
+            # constraint, and jacobians at the SAME x in separate jitted
+            # programs — without this each costs a fresh eigensolve
+            key = (tok, np.asarray(th).tobytes(), np.asarray(E_).tobytes(),
+                   np.asarray(nu_).tobytes(), np.asarray(rho_).tobytes())
+            hit = cache.get(key)
+            if hit is not None:
+                return hit
+            out = self.evaluate_modal(
+                np.asarray(th), np.asarray(E_), np.asarray(nu_),
+                np.asarray(rho_), n_modes=k, node_disp=node_disp, **opts)
+            X = np.asarray(out.modes, dtype=np.float64)
+            if len(cache) > 8:
+                cache.pop(next(iter(cache)))
+            cache[key] = X
+            return X
+
+        def solve_modes(th, E_, nu_, rho_):
+            return jax.pure_callback(
+                host, jax.ShapeDtypeStruct((n, k), jnp.float64),
+                th, E_, nu_, rho_)
+
+        # pure_callback has no AD rule — custom_vjp supplies the exact one:
+        # the eigenvalue vjp is the Rayleigh-quotient vjp at fixed modes
+        @jax.custom_vjp
+        def eigs(th, E_, nu_, rho_):
+            X = solve_modes(th, E_, nu_, rho_)
+            return self._modal_rayleigh(X, th, E_, nu_, rho_, node_disp)
+
+        def fwd(th, E_, nu_, rho_):
+            X = solve_modes(th, E_, nu_, rho_)
+            lam = self._modal_rayleigh(X, th, E_, nu_, rho_, node_disp)
+            return lam, (X, th, E_, nu_, rho_)
+
+        def bwd(resid, g):
+            X, th, E_, nu_, rho_ = resid
+            _, vjp = jax.vjp(
+                lambda a, b, c, d: self._modal_rayleigh(
+                    X, a, b, c, d, node_disp), th, E_, nu_, rho_)
+            return vjp(g)
+
+        eigs.defvjp(fwd, bwd)
+        return eigs(jnp.asarray(thickness), jnp.asarray(E),
+                    jnp.asarray(nu), jnp.asarray(density))
