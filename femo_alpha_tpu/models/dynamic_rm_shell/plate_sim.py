@@ -360,7 +360,7 @@ class PlateSim:
         return K_mv, M_mv, A_c, solve_A
 
     def simulate_outputs(self, t_arr, f_history, segment_len=None,
-                         with_residuals=False):
+                         with_residuals=False, stress_pnorm=None):
         """Long-horizon transient solve with ONLINE outputs: total strain
         energy, per-step scalar histories (strain energy, tip displacement),
         and the final state — WITHOUT materializing the (time_levels,
@@ -377,9 +377,12 @@ class PlateSim:
         Per-step strain energy is 0.5 w^T K w via the already-assembled
         element operator (== assemble_scalar of the quadratic energy form).
         segment_len: inner-scan length; defaults to the divisor of N_t
-        nearest sqrt(N_t). Returns a dict: total_strain_energy,
-        energy_history (N_t,), tip_history (N_t,), w_final, wdot_final
-        [, res_history].
+        nearest sqrt(N_t). stress_pnorm: optional (m, rho) — additionally
+        emit the per-step p-norm stress functional (pnorm_stress_form), the
+        time-resolved constraint quantity of stress-constrained gust
+        optimization. Returns a dict: total_strain_energy, energy_history
+        (N_t,), tip_history (N_t,), w_final, wdot_final [, res_history]
+        [, pnorm_history].
         """
         K_mv, M_mv, A_c, solve_A = self._solver_context(t_arr)
         dt = self.dt
@@ -402,7 +405,15 @@ class PlateSim:
         n_seg = n_t // segment_len
         segs = steps.reshape(n_seg, segment_len, n)
 
+        pn_form = pn_params = None
+        if stress_pnorm is not None:
+            m_pn, rho_pn = stress_pnorm
+            pn_form = self.pde.pnorm_stress_form(m=m_pn, rho=rho_pn)
+            pn_params = self._k_params(t_arr)
+
         def inner_step(carry, F_i):
+            from ...assembly.assemble import assemble_scalar
+
             w_old, wdot_old = carry
             b = (
                 F_i
@@ -415,6 +426,8 @@ class PlateSim:
             wdot = (2.0 / dt) * (w - w_old) - wdot_old
             e_t = 0.5 * jnp.vdot(w, K_mv(w))
             outs = (e_t, self.tip_disp(w))
+            if pn_form is not None:
+                outs = outs + (assemble_scalar(pn_form, w, pn_params),)
             if with_residuals:
                 w_sg = jax.lax.stop_gradient(w)
                 b_sg = jax.lax.stop_gradient(b)
@@ -437,8 +450,12 @@ class PlateSim:
             "w_final": w_f,
             "wdot_final": wd_f,
         }
+        idx = 2
+        if pn_form is not None:
+            out["pnorm_history"] = outs[idx].reshape(n_t)
+            idx += 1
         if with_residuals:
-            out["res_history"] = outs[2].reshape(n_t)
+            out["res_history"] = outs[idx].reshape(n_t)
         return out
 
     # ----------------------------------------------------- parity interface

@@ -390,7 +390,7 @@ class RMShellModel:
         fe_params = self._modal_fe_params(node_disp)
         params, mpar = fe_params(thickness, E, nu, density)
         u0 = jnp.zeros(n)
-        mform = pde.inertia_form()
+        mform = pde.inertia_form(with_uhat=True)
         Me = element_matrices(mform, u0, mpar)
         fm = ipde.free_mask
         free_idx = np.where(np.asarray(fm) > 0.0)[0]
@@ -501,7 +501,8 @@ class RMShellModel:
                 "uhat": uhat,
             }
             mp = {"thickness": p["thickness"],
-                  "density": reorder(rho_, mat_idx).reshape(-1)}
+                  "density": reorder(rho_, mat_idx).reshape(-1),
+                  "uhat": uhat}
             return p, mp
 
         return fe_params
@@ -513,7 +514,7 @@ class RMShellModel:
         from ...assembly.assemble import assemble_residual, assemble_scalar
 
         ipde = self.fea.states["disp_solid"].pde
-        mform = self.shell_pde.inertia_form()
+        mform = self.shell_pde.inertia_form(with_uhat=True)
         p, mp = self._modal_fe_params(node_disp)(thickness, E, nu, density)
         X = jnp.asarray(X)
 

@@ -430,14 +430,19 @@ class RMShellPDE:
         return FemForm(self.W, kern, kind="energy", param_specs=specs,
                        dtype=self.dtype, cell_consts=self._cell_consts())
 
-    def inertia_form(self, rho_is_param=True):
+    def inertia_form(self, rho_is_param=True, with_uhat=False):
         """Shell inertia as an energy: 0.5 rho h (|u|^2 + h_mesh^2 |theta|^2)
         — its Hessian is the mass operator of inertialResidual
         (linear_shell_model.py:335-348; rotational inertia scaled by the
-        mesh-size-squared stabilization, following the reference)."""
+        mesh-size-squared stabilization, following the reference).
+        with_uhat: include the J(uhat) deformed-configuration pullback of
+        the reference's inertialResidual (the modal/shape-derivative path;
+        the transient simulator integrates on the reference configuration
+        and omits it)."""
         R = self._rules["inplane"]
         tab_d, tab_r, tab_t = R["d"], R["r"], R["t"]
         interp_t = _interp_factory(self.VT, tab_t.phi)
+        nv = self.nv
 
         def kern(u_cell, x_cell, p):
             ud, th = self._split(u_cell)
@@ -450,6 +455,10 @@ class RMShellPDE:
             dens = rhoq * hq * (
                 jnp.sum(u_q**2, axis=1) + hm**2 * jnp.sum(th_q**2, axis=1)
             )
+            if with_uhat:
+                dphi_g = phys_grad_table(tab_d.geom_dphi, geo["Pi"])
+                _, _, detF = deformation(p["uhat"].reshape(nv, 3), dphi_g)
+                dens = dens * detF
             return jnp.sum(0.5 * dens * R["w"] * geo["dA"])
 
         specs = {"thickness": self.VT}
@@ -457,6 +466,8 @@ class RMShellPDE:
             specs["density"] = self.VT
         else:
             specs["rho"] = None
+        if with_uhat:
+            specs["uhat"] = self.VU
         return FemForm(self.W, kern, kind="energy", param_specs=specs)
 
     def self_weight_load(self, g_z):

@@ -189,3 +189,28 @@ def test_simulate_outputs_matches_history_path(sim):
             "total_strain_energy"])(th)
     np.testing.assert_allclose(np.asarray(g_onl), np.asarray(g_hist),
                                rtol=1e-8)
+
+
+def test_simulate_outputs_pnorm_history(sim):
+    """Per-step stress p-norm emission (the time-resolved constraint of
+    stress-constrained gust optimization): must match the history path's
+    per-step pnorm_stress, with a working thickness gradient."""
+    import jax
+
+    th = sim.t_array
+    fh = jnp.asarray(sim.f_history)
+    out = sim.simulate_outputs(th, fh, segment_len=5,
+                               stress_pnorm=(1e-6, 20))
+    wh = sim.simulate(th, fh)
+    pn_ref = np.asarray([
+        float(sim.pnorm_stress(w, th, m=1e-6, rho=20))
+        for w in np.asarray(wh)[1:]
+    ])
+    np.testing.assert_allclose(np.asarray(out["pnorm_history"]), pn_ref,
+                               rtol=1e-9)
+
+    g = jax.grad(lambda t: jnp.max(
+        sim.simulate_outputs(t, fh, segment_len=5,
+                             stress_pnorm=(1e-6, 20))["pnorm_history"]))(th)
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert np.linalg.norm(np.asarray(g)) > 0
