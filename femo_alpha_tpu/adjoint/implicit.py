@@ -192,6 +192,16 @@ class ImplicitPDE:
             solver = self._solver_from(ops_Ae, M_state, u, params)
             du = solver.solve(r)
             u = u - du
+        if self.newton_iters > 1:
+            # re-linearize at the RETURNED u: the loop's last ops were
+            # assembled before the final update, and the adjoint solve in
+            # _bwd_impl must use J(u_N)^T, not J(u_{N-1})^T — a stale
+            # linearization silently biases nonlinear gradients by
+            # O(||u_N - u_{N-1}||). (Linear problems have state-independent
+            # ops; skip the extra assembly.)
+            ops_Ae = self._assemble_ops(u, params, emf_basis=emf_basis)
+            M_state = (self._pc.setup_state(u, params, ops_Ae, pc_aux)
+                       if self._pc is not None else None)
         return u, (ops_Ae, M_state)
 
     def _bwd_impl(self, params, u, ops_Ae, M_state, g):

@@ -108,31 +108,45 @@ def read_msh(filename, gdim=3):
         raise ValueError(f"{filename}: no 1D/2D elements found")
     cell_blocks = [e for e in elems if e["dim"] == max_dim]
     kinds = sorted({e["cell_type"] for e in cell_blocks})
+    # file position of each cell among the max-dim elements, in file order
+    # (what original_cell_index must hold — see below)
+    pos = 0
+    for e in cell_blocks:
+        e["file_pos"] = np.arange(pos, pos + len(e["conn"]), dtype=np.int64)
+        pos += len(e["conn"])
     if len(kinds) > 1:
         # mixed tri/quad shell: split quads into triangles (the reference's
         # dolfinx path would reject this too; splitting preserves geometry)
         tris = []
         phys = []
+        fpos = []
         etags = []
         for e in cell_blocks:
             c = e["conn"]
             if e["cell_type"] == "quad":
+                # concat order is [all first halves, all second halves] —
+                # per-quad data must TILE (not repeat) to stay aligned
                 tris.append(np.concatenate([c[:, [0, 1, 2]],
                                             c[:, [0, 2, 3]]], axis=0))
-                phys.append(np.repeat(e["phys_arr"], 2))
-                etags.append(np.repeat(e["tags"], 2))
+                phys.append(np.tile(e["phys_arr"], 2))
+                fpos.append(np.tile(e["file_pos"], 2))
+                etags.append(np.tile(e["tags"], 2))
             else:
                 tris.append(c)
                 phys.append(e["phys_arr"])
+                fpos.append(e["file_pos"])
                 etags.append(e["tags"])
         conn_tags = np.concatenate(tris, axis=0)
         phys_all = np.concatenate(phys)
+        cell_file_pos = np.concatenate(fpos)
         elem_tags = np.concatenate(etags)
         cell_type = "triangle"
     else:
         cell_type = kinds[0]
         conn_tags = np.concatenate([e["conn"] for e in cell_blocks], axis=0)
         phys_all = np.concatenate([e["phys_arr"] for e in cell_blocks])
+        cell_file_pos = np.concatenate(
+            [e["file_pos"] for e in cell_blocks])
         elem_tags = np.concatenate([e["tags"] for e in cell_blocks])
 
     conn = to_index(conn_tags.ravel()).reshape(conn_tags.shape)
@@ -146,8 +160,18 @@ def read_msh(filename, gdim=3):
     from ..mesh import Mesh
 
     m = Mesh(coords_out, conn, cell_type)
-    m.input_global_indices = sorted_tags.astype(np.int64)
-    m.original_cell_index = elem_tags.astype(np.int64)
+    # CADDEE-contract reorder maps are 0-BASED FILE POSITIONS, not gmsh
+    # tags: input_global_indices[i] = file row of FE node i (FE order is
+    # tag-sorted, so this is exactly `order`), original_cell_index[i] =
+    # file position of FE cell i among the max-dim elements (identity
+    # except for quad->tri splitting, where each source quad repeats).
+    # Callers pass per-node/per-cell arrays in FILE order and the model
+    # gathers with v[map] (rm_shell_model.py:398-412 semantics); storing
+    # raw 1-based tags here silently shifted every input by one.
+    m.input_global_indices = order.astype(np.int64)
+    m.original_cell_index = cell_file_pos.astype(np.int64)
+    # raw gmsh element tags, for provenance/debugging only
+    m.cell_gmsh_tags = elem_tags.astype(np.int64)
     m.cell_tags = {
         int(t): np.where(phys_all == t)[0].astype(np.int32)
         for t in np.unique(phys_all)

@@ -188,6 +188,12 @@ class RMShellModel:
                         mem = bc_.n_pad * (bc_.m + 1) * bc_.w * 12
                         if mem <= 6e9:
                             opts["precond_factory"] = bf
+                        else:
+                            log(
+                                f"band precond needs ~{mem / 1e9:.1f}GB "
+                                "(> 6GB guard); falling back to Jacobi-CG "
+                                "— expect slow/failed convergence on "
+                                "penalty-BC systems at this size")
                     except Exception as e:  # band setup is best-effort
                         log(f"band precond unavailable ({e}); "
                             "falling back to Jacobi-CG")

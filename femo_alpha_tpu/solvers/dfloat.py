@@ -163,29 +163,11 @@ def df_dot(x: DF, y: DF) -> DF:
     p, e = _two_prod(x.hi, y.hi)
     e = e + x.hi * y.lo + x.lo * y.hi
     # compensated (Neumaier) sum over the pair stream in f32 is not enough
-    # for large n; accumulate blockwise: reshape to (m, 128) lanes, sum
-    # lanes pairwise in DF, then reduce the m partials sequentially-free
-    # via sorting-free two-sum folds on log2 tree.
-    hi = p.ravel()
-    lo = e.ravel()
-    n = hi.shape[0]
-    # pad to power-of-two multiple of 2 for a binary tree fold
-    m = 1
-    while m < n:
-        m *= 2
-    pad = m - n
-    if pad:
-        hi = jnp.concatenate([hi, jnp.zeros(pad, hi.dtype)])
-        lo = jnp.concatenate([lo, jnp.zeros(pad, lo.dtype)])
-    while hi.shape[0] > 1:
-        h = hi.shape[0] // 2
-        s, err = _two_sum(hi[:h], hi[h:])
-        lo = lo[:h] + lo[h:] + err
-        hi = s
-    # final renormalization via the magnitude-agnostic _two_sum: under heavy
-    # cancellation (sum near zero) |hi| >= |lo| can fail, which would corrupt
-    # the low word through _quick_two_sum's precondition
-    h, l2 = _two_sum(hi[0], lo[0])
+    # for large n; binary-tree fold with the rounding errors drained into
+    # the lo stream (shared with df_cell_matvec_T — ONE copy of the
+    # numerically delicate reduction, incl. the magnitude-agnostic final
+    # _two_sum renormalization for the heavy-cancellation case)
+    h, l2 = _tree_fold_sum(p.ravel(), e.ravel(), 0)
     return DF(h, l2)
 
 

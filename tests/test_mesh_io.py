@@ -144,3 +144,84 @@ def test_wing_mesh_assembles():
     r = assemble_residual(form, u, params)
     assert np.all(np.isfinite(np.asarray(r)))
     assert float(jnp.linalg.norm(r)) > 0.0
+
+
+def test_msh_reorder_maps_are_file_positions(tmp_path):
+    """The CADDEE-contract maps must hold 0-based FILE POSITIONS (caller
+    arrays are indexed by file row), NOT raw gmsh tags: with scrambled,
+    non-contiguous 1-based node tags and shuffled elements, solving on the
+    .msh mesh with file-ordered inputs must exactly match an identity-map
+    in-memory mesh built from the same file-ordered data. (Regression: raw
+    tags silently shifted every per-node/per-cell input by one.)"""
+    import jax.numpy as jnp
+    from femo_alpha_tpu.mesh import Mesh
+    from femo_alpha_tpu.models import RMShellModel
+
+    rng = np.random.default_rng(5)
+    nxn, nyn = 5, 3  # 4x2 quads
+    xs, ys = np.linspace(0, 2, nxn), np.linspace(0, 1, nyn)
+    grid = np.array([[x, y, 0.0] for y in ys for x in xs])
+    nn = len(grid)
+    file_perm = rng.permutation(nn)  # node order in the FILE
+    coords_file = grid[file_perm]
+    # scrambled, NON-CONTIGUOUS tags (legal in gmsh)
+    tags = (rng.permutation(nn) * 3 + 7).astype(int)
+    row_of_grid = np.empty(nn, dtype=int)
+    row_of_grid[file_perm] = np.arange(nn)
+
+    def gid(i, j):
+        return j * nxn + i
+
+    quads_grid = [[gid(i, j), gid(i + 1, j), gid(i + 1, j + 1), gid(i, j + 1)]
+                  for j in range(nyn - 1) for i in range(nxn - 1)]
+    rng.shuffle(quads_grid)  # element order in the FILE
+    conn_file_rows = np.array([[row_of_grid[v] for v in q]
+                               for q in quads_grid])
+
+    lines = ["$MeshFormat", "2.2 0 8", "$EndMeshFormat",
+             "$Nodes", str(nn)]
+    for r in range(nn):
+        x, y, z = coords_file[r]
+        lines.append(f"{tags[r]} {x} {y} {z}")
+    lines += ["$EndNodes", "$Elements", str(len(quads_grid))]
+    for e, q in enumerate(quads_grid):
+        node_tags = " ".join(str(tags[row_of_grid[v]]) for v in q)
+        lines.append(f"{e + 101} 3 2 1 1 {node_tags}")
+    lines += ["$EndElements"]
+    path = os.path.join(tmp_path, "scrambled.msh")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+    m = readFEAMesh(path)
+    igi = np.asarray(m.input_global_indices)
+    oci = np.asarray(m.original_cell_index)
+    assert sorted(igi.tolist()) == list(range(nn))
+    assert sorted(oci.tolist()) == list(range(len(quads_grid)))
+    # mesh.coords[i] must be the file row igi[i]
+    assert np.allclose(np.asarray(m.coords), coords_file[igi])
+
+    # end-to-end: same physics on an identity-map in-memory mesh built
+    # from the file-ordered data; inputs supplied in FILE order
+    m2 = Mesh(coords_file, conn_file_rows.astype(np.int32), "quad")
+    p_file = np.zeros((nn, 3))
+    p_file[:, 2] = 1.0e3 * (1.0 + coords_file[:, 0])
+    th_file = 0.05 + 0.03 * rng.random(len(quads_grid))
+    kw = dict(E=jnp.full(len(quads_grid), 7e10),
+              nu=jnp.full(len(quads_grid), 0.3),
+              density=jnp.full(len(quads_grid), 2700.0))
+
+    def bc(x):
+        return x[:, 0] < 1e-9
+
+    out_a = RMShellModel(m, shell_bc_func=bc, element_wise_material=True
+                         ).evaluate(jnp.asarray(p_file),
+                                    jnp.asarray(th_file), **kw)
+    out_b = RMShellModel(m2, shell_bc_func=bc, element_wise_material=True
+                         ).evaluate(jnp.asarray(p_file),
+                                    jnp.asarray(th_file), **kw)
+    assert np.isclose(float(out_a.compliance), float(out_b.compliance),
+                      rtol=1e-12)
+    assert np.isclose(float(out_a.mass), float(out_b.mass), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(out_a.disp_extracted),
+                               np.asarray(out_b.disp_extracted),
+                               rtol=0, atol=1e-12)
