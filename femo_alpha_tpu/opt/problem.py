@@ -66,7 +66,9 @@ class OptimizationProblem:
     def _output(self, outs, name):
         if hasattr(outs, "to_dict"):
             outs = outs.to_dict()
-        return outs[name]
+        if isinstance(outs, dict):
+            return outs[name]
+        return getattr(outs, name)
 
     def _scalar_fn(self, name, scaler=1.0):
         def f(x_jnp):
@@ -78,6 +80,19 @@ class OptimizationProblem:
         if self.jit:
             vg = jax.jit(vg)
         return vg
+
+    def _vector_fn(self, name, scaler=1.0):
+        """Value + Jacobian of a (possibly vector-valued) constraint output
+        — ModOpt/csdl `set_as_constraint` accepts vector variables (e.g.
+        per-bay margins); jacrev = one adjoint sweep per component."""
+        def f(x_jnp):
+            dvs = self._unpack(x_jnp)
+            outs = self._evaluate(dvs)
+            return jnp.ravel(jnp.asarray(self._output(outs, name))) * scaler
+
+        vj = jax.jit(lambda x: (f(x), jax.jacrev(f)(x))) if self.jit \
+            else (lambda x: (f(x), jax.jacrev(f)(x)))
+        return vj
 
     # ------------------------------------------------------------- solve
     def solve(self, maxiter=1000, ftol=1e-9, callback=None, report=True):
@@ -92,29 +107,36 @@ class OptimizationProblem:
 
         cons = []
         for c in self.constraints:
-            vg = self._scalar_fn(c["name"], c.get("scaler", 1.0))
+            vg = self._vector_fn(c["name"], c.get("scaler", 1.0))
             sc = c.get("scaler", 1.0)
 
             def make(vg, shift, sign):
+                # scipy SLSQP accepts vector-valued constraint functions:
+                # fun -> (m,), jac -> (m, n); scalars are m=1
                 def fun(x):
                     v, _ = vg(jnp.asarray(x))
-                    return sign * (float(v) - shift)
+                    return sign * (np.asarray(v, dtype=np.float64) - shift)
 
                 def jac(x):
-                    _, g = vg(jnp.asarray(x))
-                    return sign * np.asarray(g, dtype=np.float64)
+                    _, J = vg(jnp.asarray(x))
+                    return sign * np.asarray(J, dtype=np.float64)
 
                 return fun, jac
 
             if c["equals"] is not None:
-                fun, jac = make(vg, sc * float(c["equals"]), 1.0)
+                fun, jac = make(vg, sc * np.asarray(c["equals"],
+                                                    dtype=np.float64), 1.0)
                 cons.append(dict(type="eq", fun=fun, jac=jac))
             else:
                 if c["lower"] is not None:
-                    fun, jac = make(vg, sc * float(c["lower"]), 1.0)
+                    fun, jac = make(vg, sc * np.asarray(c["lower"],
+                                                        dtype=np.float64),
+                                    1.0)
                     cons.append(dict(type="ineq", fun=fun, jac=jac))
                 if c["upper"] is not None:
-                    fun, jac = make(vg, sc * float(c["upper"]), -1.0)
+                    fun, jac = make(vg, sc * np.asarray(c["upper"],
+                                                        dtype=np.float64),
+                                    -1.0)
                     cons.append(dict(type="ineq", fun=fun, jac=jac))
 
         bounds = None
