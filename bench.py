@@ -33,6 +33,12 @@ SCALE_NY = int(os.environ.get("FEMO_BENCH_SCALE_NY", "128"))
 # (staged custom_vjp pipeline). 'staged': the hand-staged ShellBench twin
 # kept for comparison.
 PIPELINE = os.environ.get("FEMO_BENCH_PIPELINE", "library")
+# 'strong' (default): strong-BC elimination -> geometric-MG solve path (the
+# structured north-star workload, same as ShellBench). 'penalty': the
+# reference-default penalty facets -> RCM band Cholesky path (that
+# configuration is benchmarked on the unstructured wing by
+# tools/wing_bench.py, where it is the honest workload shape).
+BC = os.environ.get("FEMO_BENCH_BC", "strong")
 
 
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -45,15 +51,18 @@ def _bench(nx, ny, repeats):
     import femo_alpha_tpu  # noqa: F401
     from femo_alpha_tpu.benchmarks import LibraryBench, ShellBench
 
-    cls = LibraryBench if PIPELINE == "library" else ShellBench
-    b = cls(nx=nx, ny=ny)
+    if PIPELINE == "library":
+        b = LibraryBench(nx=nx, ny=ny, penalty=(BC == "penalty"))
+    else:
+        b = ShellBench(nx=nx, ny=ny)
     out = b.timed_run(repeats=repeats)
     out["backend"] = jax.default_backend()
     return out
 
 
 def _key(nx, ny):
-    return f"{nx}x{ny}:{PIPELINE}"
+    tag = f":{BC}" if PIPELINE == "library" else ""
+    return f"{nx}x{ny}:{PIPELINE}{tag}"
 
 
 def _load_baseline_file():

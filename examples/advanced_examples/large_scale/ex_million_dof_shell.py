@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 import femo_alpha_tpu  # noqa: F401  (platform/x64/matmul-precision config)
 from femo_alpha_tpu.benchmarks import ShellBench
+from femo_alpha_tpu.utils.timing import sync
 
 NX, NY = 512, 128
 
@@ -31,12 +32,12 @@ def main():
 
     t0 = time.time()
     out = bench.forward_adjoint(bench.th0)
-    jax.block_until_ready(out["grad"])
+    sync(out["grad"])
     print(f"first forward+adjoint (incl. compile): {time.time() - t0:.1f}s")
 
     t0 = time.time()
     out = bench.forward_adjoint(bench.th0)
-    jax.block_until_ready(out["grad"])
+    sync(out["grad"])
     print(f"steady forward+adjoint: {time.time() - t0:.3f}s")
     print(f"iters fwd/adj {int(out['iters_fwd'])}/{int(out['iters_adj'])}  "
           f"rel_res {float(out['res_fwd']):.2e}/{float(out['res_adj']):.2e}")

@@ -62,6 +62,11 @@ class ImplicitPDE:
     utils_dolfinx.py:449).
     """
 
+    # registry of live instances, in creation order — lets
+    # fea.pipeline.compile_pipeline harvest each PDE's host-prepared aux
+    # and thread it through an outer jit as a runtime argument
+    _instances: "list[ImplicitPDE]" = []
+
     def __init__(
         self,
         form: FemForm,
@@ -102,6 +107,7 @@ class ImplicitPDE:
             self._solve = _build_staged_vjp(self)
         else:
             self._solve = _build_custom_vjp_solve(self)
+        ImplicitPDE._instances.append(self)
 
     # -------------------------------------------------- raw pieces
     def residual(self, u, params):
@@ -234,30 +240,56 @@ class ImplicitPDE:
         return u
 
     # -------------------------------------------------- public API
-    def solve(self, params, u0=None):
+    def prepare_aux(self, params):
+        """Host-side per-parameter setup (affine bases, preconditioner
+        bases) as a pytree — pass to `solve(..., aux=...)` to thread it
+        through an outer jit as a runtime argument instead of a trace
+        constant (see fea.pipeline.compile_pipeline)."""
+        return self._prepare_aux(params)
+
+    def solve(self, params, u0=None, aux=None):
         """Differentiable solve. params: pytree of arrays the residual
-        closes over via form.param_specs."""
+        closes over via form.param_specs. aux: optional result of
+        `prepare_aux` (may be a traced pytree under an outer jit); when
+        omitted, it is prepared host-side — or taken from an active
+        `fea.pipeline` aux override for this instance."""
         if u0 is None:
             u0 = jnp.zeros(self.n_dofs)
-        if self._staged:
-            self._aux_now = self._prepare_aux(params)
-        return self._solve(params, u0)
+        if not self._staged:
+            return self._solve(params, u0)
+        if aux is None:
+            from ..fea.pipeline import get_aux_override
+
+            aux = get_aux_override(self)
+        if aux is None:
+            aux = self._prepare_aux(params)
+            # cache host-prepared aux only (an override aux may be a traced
+            # pytree — storing it would leak tracers to later eager calls)
+            self._aux_now = aux
+        return self._solve(params, u0, aux)
 
 
 def _build_staged_vjp(pde: ImplicitPDE):
+    # aux is a formal custom_vjp argument (NOT a closure): under an outer
+    # jit (fea.pipeline.compile_pipeline) it is a traced pytree, and
+    # closures over tracers are illegal inside custom_vjp. Its cotangent
+    # is zero by construction: the affine basis is exactly
+    # design-independent, and non-design parameters are frozen while a
+    # compiled pipeline is alive (see compile_pipeline docstring).
     @jax.custom_vjp
-    def solve(params, u0):
-        u, _ = pde._jit_fwd(params, u0, pde._aux_now)
+    def solve(params, u0, aux):
+        u, _ = pde._jit_fwd(params, u0, aux)
         return u
 
-    def fwd(params, u0):
-        u, state = pde._jit_fwd(params, u0, pde._aux_now)
-        return u, (params, u, state)
+    def fwd(params, u0, aux):
+        u, state = pde._jit_fwd(params, u0, aux)
+        return u, (params, u, state, aux)
 
     def bwd(res, g):
-        params, u, (ops_Ae, M_state) = res
+        params, u, (ops_Ae, M_state), aux = res
         gp = pde._jit_bwd(params, u, ops_Ae, M_state, g)
-        return gp, jnp.zeros_like(g)
+        zaux = jax.tree.map(jnp.zeros_like, aux)
+        return gp, jnp.zeros_like(g), zaux
 
     solve.defvjp(fwd, bwd)
     return solve

@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from .assemble import element_matrices
+from ..utils.offload import run_setup
 
 
 class AffineDesignOperator:
@@ -67,15 +68,18 @@ class AffineDesignOperator:
         # Vandermonde combine + layout transform + cast): a single dispatch
         # and a single compile per level, instead of an eager-op storm —
         # each eager op on the tunneled TPU costs ~0.35s compile + ~20ms
-        # dispatch at setup.
+        # dispatch at setup. On accelerator backends the whole build runs
+        # on the host CPU backend (utils/offload.py: the jacfwd assembly
+        # program costs minutes of XLA compile per process on the tunneled
+        # TPU vs seconds on CPU) and only the finished basis transfers.
+        probe_params = [
+            params_of(jnp.full(nc, t, dtype=u0.dtype)) for t in probes
+        ]
+
         @jax.jit
-        def build_basis():
+        def build_basis(u0_, pps):
             Ae_probes = [
-                element_matrices(
-                    form, u0,
-                    params_of(jnp.full(nc, t, dtype=u0.dtype)),
-                    chunk=chunk)
-                for t in probes
+                element_matrices(form, u0_, pp, chunk=chunk) for pp in pps
             ]
             basis = []
             for k in range(K):
@@ -86,7 +90,7 @@ class AffineDesignOperator:
             # stacked: one fused elementwise pass in element_matrices()
             return jnp.stack(basis)
 
-        self.basis = build_basis()
+        self.basis = run_setup(build_basis, u0, probe_params)
         self.nc = nc
 
     def astype(self, dtype):
@@ -178,8 +182,10 @@ class AffineDesignOperator:
         Raises if the form's design dependence is not the declared
         polynomial (e.g. CG1 nodal thickness, which is NOT per-cell
         polynomial)."""
-        direct = element_matrices(self.form, u0, params_of(jnp.asarray(theta)),
-                                  chunk=chunk)
+        direct = run_setup(
+            jax.jit(lambda u0_, p_: element_matrices(
+                self.form, u0_, p_, chunk=chunk)),
+            u0, params_of(jnp.asarray(theta)))
         pred = self.element_matrices(theta).astype(direct.dtype)
         if self.layout == "lane":
             pred = jnp.moveaxis(pred, -1, 0)

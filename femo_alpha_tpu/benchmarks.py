@@ -28,6 +28,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from .utils.timing import ensure_eager_stream, sync
+
 
 class ShellBench:
     """mode='f64': straight f64 MG-CG in one fused XLA program (CPU default).
@@ -495,13 +497,13 @@ class ShellBench:
         th = self.th0
         t0 = time.time()
         out = self.forward_adjoint(th)
-        jax.block_until_ready((out["J"], out["grad"]))
+        sync((out["J"], out["grad"]))
         compile_s = time.time() - t0
         times = []
         for _ in range(repeats):
             t0 = time.time()
             out = self.forward_adjoint(th)
-            jax.block_until_ready((out["J"], out["grad"]))
+            sync((out["J"], out["grad"]))
             times.append(time.time() - t0)
         tip = float(jnp.max(jnp.abs(out["u"])))
         return dict(
@@ -528,15 +530,21 @@ class LibraryBench:
     get from the documented API is the benchmark, not a hand-staged twin.
     """
 
-    def __init__(self, nx=128, ny=32):
+    def __init__(self, nx=128, ny=32, penalty=False):
         from .mesh import createRectangleMesh
         from .models import RMShellModel
 
         mesh = createRectangleMesh(nx, ny, (0, 0), (10.0, 2.0), "quad",
                                    gdim=3)
+        # penalty=False (bench default): strong-BC elimination -> the
+        # geometric-MG solve path, the north-star structured workload
+        # (matches ShellBench; the reference supports both BC modes,
+        # rm_shell_model.py:168-180). penalty=True exercises the
+        # reference-default penalty facets -> RCM band Cholesky path
+        # (benchmarked on the unstructured wing by tools/wing_bench.py).
         self.model = RMShellModel(
             mesh, shell_bc_func=lambda x: x[:, 0] < 1e-12,
-            element_wise_material=True)
+            element_wise_material=True, PENALTY_BC=penalty)
         self.n_dofs = self.model.shell_pde.W.n_dofs
         nel, nn = mesh.n_cells, mesh.n_nodes
         self.f = jnp.zeros(3 * nn).at[2::3].set(2.0)
@@ -550,7 +558,13 @@ class LibraryBench:
                                       is_pressure=True)
             return out.compliance, out.disp_solid
 
-        self._vg = jax.value_and_grad(J, has_aux=True)
+        # the documented fast path: the whole evaluate+grad pipeline as one
+        # persistent jitted program, aux (affine/MG bases) threaded as
+        # runtime args (fea/pipeline.py)
+        from .fea.pipeline import compile_pipeline
+
+        self._vg = compile_pipeline(jax.value_and_grad(J, has_aux=True),
+                                    (self.th0,))
 
     def forward_adjoint(self, th):
         (val, u), g = self._vg(th)
@@ -560,23 +574,28 @@ class LibraryBench:
         th = self.th0
         t0 = time.time()
         out = self.forward_adjoint(th)
-        jax.block_until_ready((out["J"], out["grad"]))
+        sync((out["J"], out["grad"]))
         compile_s = time.time() - t0
         times = []
         for _ in range(repeats):
             t0 = time.time()
             out = self.forward_adjoint(th)
-            jax.block_until_ready((out["J"], out["grad"]))
+            sync((out["J"], out["grad"]))
             times.append(time.time() - t0)
-        # solve quality: linear-system residual of the returned state
-        # (one extra eager setup + matvec, not timed)
+        # solve quality: constrained-residual norm at the returned state
+        # relative to the zero-state residual (= the RHS for this linear
+        # problem) — one jitted program, not timed
         op = self.model.fea.states["disp_solid"].pde
         params = {"thickness": th, "E": self.E, "nu": self.nu,
                   "uhat": jnp.zeros_like(self.f), "F_solid": self.f}
-        r0 = op.residual(jnp.zeros(op.n_dofs), params)
-        solver = op.make_solver(out["u"], params)
-        rel = float(jnp.linalg.norm(solver.matvec(-out["u"]) - r0)
-                    / jnp.linalg.norm(r0))
+
+        @jax.jit
+        def _rel(u, params):
+            rn = jnp.linalg.norm(op.residual(u, params))
+            r0 = jnp.linalg.norm(op.residual(jnp.zeros(op.n_dofs), params))
+            return rn / r0
+
+        rel = float(_rel(out["u"], params))
         tip = float(jnp.max(jnp.abs(out["u"])))
         # assembly throughput: the per-design-iteration element re-assembly
         # (affine AXPY combine when available, else full element_matrices) —
@@ -594,9 +613,9 @@ class LibraryBench:
             p["thickness"] = th_
             return op._assemble_ops(u0, p, emf_basis=basis_)
 
-        jax.block_until_ready(_asm(th, basis))
+        sync(_asm(th, basis))
         t0 = time.time()
-        jax.block_until_ready(_asm(th, basis))
+        sync(_asm(th, basis))
         assembly_s = time.time() - t0
         return dict(
             wall_s=float(np.median(times)),

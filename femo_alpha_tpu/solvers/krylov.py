@@ -17,21 +17,26 @@ def _identity(x):
     return x
 
 
-def cg_solve(matvec, b, x0=None, M=None, tol=1e-10, atol=0.0, maxiter=1000):
+def cg_solve(matvec, b, x0=None, M=None, tol=1e-10, atol=0.0, maxiter=1000,
+             restarts=1):
     """Preconditioned conjugate gradient.
 
     Returns (x, info) with info = dict(iters, resnorm, converged). matvec and
     M are functions v -> Av / M^{-1}v (M is the preconditioner application).
+
+    restarts: after the recurrence-residual stopping test fires, recompute
+    the TRUE residual b - A x and re-enter the loop if it still exceeds the
+    target (up to `restarts` times). With a near-exact preconditioner (e.g.
+    the banded Cholesky factor) the recurrence residual collapses orders of
+    magnitude below the true residual within a few iterations and the
+    stopping test fires early; one restart recovers the attainable floor
+    for one extra matvec+apply. The final reported resnorm is always a true
+    residual norm.
     """
     M = M or _identity
     x0 = jnp.zeros_like(b) if x0 is None else x0
     bnorm = jnp.linalg.norm(b)
     target = jnp.maximum(tol * bnorm, atol)
-
-    r0 = b - matvec(x0)
-    z0 = M(r0)
-    p0 = z0
-    rz0 = jnp.vdot(r0, z0)
 
     def cond(state):
         x, r, z, p, rz, k = state
@@ -49,8 +54,19 @@ def cg_solve(matvec, b, x0=None, M=None, tol=1e-10, atol=0.0, maxiter=1000):
         p = z + beta * p
         return (x, r, z, p, rz_new, k + 1)
 
-    x, r, z, p, rz, k = jax.lax.while_loop(cond, body, (x0, r0, z0, p0, rz0, 0))
-    resnorm = jnp.linalg.norm(r)
+    def one_pass(x, k):
+        r = b - matvec(x)
+        z = M(r)
+        rz = jnp.vdot(r, z)
+        return jax.lax.while_loop(cond, body, (x, r, z, p_init(z), rz, k))
+
+    def p_init(z):
+        return z
+
+    x, r, z, p, rz, k = one_pass(x0, 0)
+    for _ in range(max(0, restarts)):
+        x, r, z, p, rz, k = one_pass(x, k)
+    resnorm = jnp.linalg.norm(b - matvec(x))
     info = {
         "iters": k,
         "resnorm": resnorm,

@@ -32,13 +32,16 @@ from femo_alpha_tpu.solvers.dfloat import (
 
 
 def timeit(fn, *args, repeats=20):
-    out = fn(*args)
-    jax.block_until_ready(out)
+    # sync() forces a device->host fetch per call: on the tunneled TPU
+    # platform, block_until_ready alone can return before queued work
+    # executes until the process's first transfer (utils/timing.py)
+    from femo_alpha_tpu.utils.timing import ensure_eager_stream, sync
+    ensure_eager_stream()
+    out = sync(fn(*args))
     ts = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
+        out = sync(fn(*args))
         ts.append(time.perf_counter() - t0)
     return 1e3 * float(np.median(ts))
 
