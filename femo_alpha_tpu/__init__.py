@@ -45,14 +45,18 @@ _jax.config.update(
     _os.environ.get("FEMO_MATMUL_PRECISION", "highest"),
 )
 
-# Persistent compilation cache: FEM kernels (wide-tangent jacfwd, fused CG
-# loops) have heavy XLA compiles, especially with emulated f64 on TPU; cache
-# them across processes. Disable with FEMO_COMPILE_CACHE=0. CPU is excluded:
-# XLA:CPU AOT artifacts pin host machine features that are detected
-# inconsistently across processes (risking SIGILL), and CPU compiles are
-# cheap anyway.
+# Persistent compilation cache: OFF by default (opt in with
+# FEMO_COMPILE_CACHE=1). Measured on the tunneled TPU backend
+# (2026-08-18): cache keys differ across processes, so entries never hit
+# — and worse, the in-process CPU backend (setup offload,
+# utils/offload.py) loads stale XLA:CPU AOT artifacts recorded on a
+# DIFFERENT host despite a machine-feature mismatch warning, which can
+# produce silently wrong numerics (observed: an exact affine
+# decomposition verifying at 1e-7 instead of 1e-15). A cache dir shared
+# by both backends of one process cannot be made safe with per-backend
+# env tags alone.
 if (
-    _os.environ.get("FEMO_COMPILE_CACHE", "1") != "0"
+    _os.environ.get("FEMO_COMPILE_CACHE", "0") == "1"
     and _platform != "cpu"
 ):
     _cache_dir = _os.environ.get(

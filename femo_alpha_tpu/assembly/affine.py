@@ -31,6 +31,23 @@ from .assemble import element_matrices
 from ..utils.offload import run_setup
 
 
+def _jit_nofold(fn):
+    """jit `fn` with XLA's constant_folding pass disabled, falling back to
+    plain jit where compiler_options is unsupported."""
+    jitted = jax.jit(fn)
+
+    def call(*args):
+        try:
+            return jitted.lower(*args).compile(
+                compiler_options={
+                    "xla_disable_hlo_passes": "constant_folding"}
+            )(*args)
+        except Exception:
+            return jitted(*args)
+
+    return call
+
+
 class AffineDesignOperator:
     """Element matrices affine in powers of a scalar per-cell design field.
 
@@ -73,10 +90,9 @@ class AffineDesignOperator:
         # program costs minutes of XLA compile per process on the tunneled
         # TPU vs seconds on CPU) and only the finished basis transfers.
         probe_params = [
-            params_of(jnp.full(nc, t, dtype=u0.dtype)) for t in probes
+            params_of(np.full(nc, t, dtype=np.dtype(u0.dtype))) for t in probes
         ]
 
-        @jax.jit
         def build_basis(u0_, pps):
             Ae_probes = [
                 element_matrices(form, u0_, pp, chunk=chunk) for pp in pps
@@ -90,7 +106,13 @@ class AffineDesignOperator:
             # stacked: one fused elementwise pass in element_matrices()
             return jnp.stack(basis)
 
-        self.basis = run_setup(build_basis, u0, probe_params)
+        # constant_folding disabled: the jacfwd tangent graph over the
+        # embedded cell geometry is largely input-independent, and XLA's
+        # single-threaded HLO fold evaluator re-derives most of the
+        # assembly at compile time (~2-5x the compile cost for zero
+        # runtime benefit on a program run a handful of times)
+        self.basis = run_setup(
+            _jit_nofold(build_basis), u0, probe_params)
         self.nc = nc
 
     def astype(self, dtype):
@@ -183,14 +205,20 @@ class AffineDesignOperator:
         polynomial (e.g. CG1 nodal thickness, which is NOT per-cell
         polynomial)."""
         direct = run_setup(
-            jax.jit(lambda u0_, p_: element_matrices(
+            _jit_nofold(lambda u0_, p_: element_matrices(
                 self.form, u0_, p_, chunk=chunk)),
-            u0, params_of(jnp.asarray(theta)))
+            u0, params_of(np.asarray(theta)))
         pred = self.element_matrices(theta).astype(direct.dtype)
         if self.layout == "lane":
             pred = jnp.moveaxis(pred, -1, 0)
         err = float(jnp.max(jnp.abs(pred - direct)))
         scale = float(jnp.max(jnp.abs(direct)))
+        # the check can only be as tight as the stored basis dtype (f32
+        # bases feed preconditioner hierarchies on TPU) and the device's
+        # f64 representation (the tunneled TPU stores f64 as a float-float
+        # pair, ~2^-48)
+        eps = float(jnp.finfo(self.basis.dtype).eps)
+        rtol = max(rtol, 100.0 * eps, 100.0 * 2.0 ** -48)
         if err > rtol * max(scale, 1e-300):
             raise ValueError(
                 f"affine decomposition mismatch: max abs err {err:.3e} vs "
@@ -251,8 +279,16 @@ class CachedAffineAssembler:
         argument and handed back to `__call__(..., basis=...)`."""
         import hashlib
 
+        def _zeros_like(v):
+            # ignored keys are zeroed in the probes, so only shape/dtype
+            # matter — build with numpy even when v is a tracer (a jnp
+            # zeros_like under an ambient trace returns a tracer, which
+            # would force the basis build to stage into that trace and
+            # leak out of the host-side cache)
+            return np.zeros(jnp.shape(v), dtype=np.dtype(v.dtype))
+
         others = {
-            k: (jnp.zeros_like(v) if k in self.ignore_keys else v)
+            k: (_zeros_like(v) if k in self.ignore_keys else v)
             for k, v in params.items() if k != self.key
         }
         theta = params[self.key]
@@ -275,7 +311,7 @@ class CachedAffineAssembler:
             def params_of(th):
                 return {**others, self.key: th}
 
-            u0 = jnp.zeros(self.form.space.n_dofs)
+            u0 = np.zeros(self.form.space.n_dofs)
             self._aff = AffineDesignOperator(
                 self.form, u0, params_of, key=self.key, powers=self.powers,
                 probe_scale=ps, chunk=self.chunk, dtype=self.dtype,

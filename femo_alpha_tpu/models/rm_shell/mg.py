@@ -105,8 +105,13 @@ def build_shell_mg(pde, bc_func, coarsest_cells=256, dtype=None,
         if affine:
             from ...assembly.affine import CachedAffineAssembler
 
+            # verify=False: these bases only feed the V-cycle smoothers —
+            # preconditioner quality, not solution accuracy — and a full
+            # direct-assembly check per level costs more than the build
+            # (the solution-accuracy-critical fine-level operator basis in
+            # RMShellModel keeps its verify)
             asm_k = CachedAffineAssembler(form_k, chunk=asm_chunk,
-                                          dtype=dtype)
+                                          dtype=dtype, verify=False)
 
             def make_Ae(p, asm_k=asm_k, u0_k=u0_k):
                 return asm_k(u0_k, p, basis=p.get("_affine_basis"))

@@ -303,7 +303,17 @@ class RMShellModel:
         )
 
         def reorder(v, idx):
-            v = jnp.asarray(v)
+            # Concreteness-preserving: CONCRETE inputs go through numpy so
+            # they arrive at ImplicitPDE._prepare_aux still concrete even
+            # when evaluate() is being traced (jnp ops inside a trace
+            # return tracers even for value-independent operands, which
+            # would silently disable the host-side affine/MG basis caches
+            # — the fast path would fall back to full in-program jacfwd
+            # assembly at every level).
+            import jax.core as _core
+
+            xp = jnp if isinstance(v, _core.Tracer) else np
+            v = xp.asarray(v)
             if idx is None:
                 return v
             idx = np.asarray(idx)
@@ -312,8 +322,8 @@ class RMShellModel:
                 # index map: reorder node-major rows, not raw entries —
                 # jax's clipped gather would otherwise silently truncate
                 v = v.reshape(idx.shape[0], -1)
-                return v[jnp.asarray(idx)].reshape(-1)
-            return v[jnp.asarray(idx)]
+                return v[idx].reshape(-1)
+            return v[idx]
 
         inputs = {}
         inputs["thickness"] = reorder(thickness, mat_idx).reshape(-1)
@@ -326,16 +336,16 @@ class RMShellModel:
             if self.elementwise_pressure and oci is not None
             else (np.asarray(igi) if igi is not None else None)
         )
-        F = reorder(jnp.asarray(force_vector), f_idx).reshape(-1)
+        F = reorder(force_vector, f_idx).reshape(-1)
         if not is_pressure:
             log("Converting forces to pressures ...")
             solve_p = pde.make_force_to_pressure_solver()
-            F = solve_p(F)
+            F = solve_p(jnp.asarray(F))
         inputs["F_solid"] = F
 
         if node_disp is None:
-            node_disp = jnp.zeros((self.nn, 3))
-        inputs["uhat"] = reorder(jnp.asarray(node_disp),
+            node_disp = np.zeros((self.nn, 3))
+        inputs["uhat"] = reorder(node_disp,
                                  np.asarray(igi) if igi is not None else None
                                  ).reshape(-1)
 

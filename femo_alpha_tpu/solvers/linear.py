@@ -21,7 +21,21 @@ import jax.numpy as jnp
 from ..assembly.assemble import make_matvec, scatter_add
 from ..assembly.bc import constrain_matvec, lift_rhs
 from .direct import DenseSolver, apply_bc_dense, dense_from_elements
-from .krylov import cg_solve, gmres_solve
+from .krylov import cg_solve, cg_solve_df, gmres_solve
+
+
+def _use_df_vectors(dtype):
+    """Float-float CG vector state: ON by default on the TPU backend for
+    f64 systems (measured 2.8-16x on the emulated-f64 vector ops, see
+    cg_solve_df), OFF elsewhere (CPU f64 is native). FEMO_CG_DF=0/1
+    overrides."""
+    import os
+
+    flag = os.environ.get("FEMO_CG_DF")
+    if flag is not None:
+        return flag == "1"
+    return (jax.default_backend() == "tpu"
+            and dtype == jnp.dtype(jnp.float64))
 
 
 def _dm(spec):
@@ -128,7 +142,8 @@ class LinearSolver:
 
     def _krylov(self, op, b, x0):
         if self.method == "cg" and self.symmetric:
-            return cg_solve(
+            cg = cg_solve_df if _use_df_vectors(b.dtype) else cg_solve
+            return cg(
                 op, b, x0=x0, M=self.M, tol=self.tol, maxiter=self.maxiter
             )
         return gmres_solve(

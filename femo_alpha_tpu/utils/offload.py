@@ -46,15 +46,21 @@ def run_setup(fn, *args, **kwargs):
     never mixes committed accelerator arrays into a CPU-pinned trace;
     outputs are moved back in one transfer per leaf."""
     dev = setup_device()
-    if dev is None:
-        return fn(*args, **kwargs)
 
     def _to(tree, device):
         return jax.tree_util.tree_map(
             lambda a: jax.device_put(a, device) if hasattr(a, "dtype")
             else a, tree)
 
-    with jax.default_device(dev):
-        out = fn(*_to(args, dev), **_to(kwargs, dev))
-    default = jax.devices()[0]
-    return _to(out, default)
+    # ensure_compile_time_eval: setup computations must produce REAL
+    # arrays even when triggered under an ambient trace (e.g. an
+    # eval_shape warm or a user jit around model.evaluate) — staged into
+    # the trace they would leak as dead tracers out of the host-side
+    # caches that hold them.
+    with jax.ensure_compile_time_eval():
+        if dev is None:
+            return fn(*args, **kwargs)
+        with jax.default_device(dev):
+            out = fn(*_to(args, dev), **_to(kwargs, dev))
+        default = jax.devices()[0]
+        return _to(out, default)
