@@ -89,17 +89,21 @@ def test_band_direct_solve_penalty_wing(wing_system):
 
 def test_band_f32_precond_cg(wing_system):
     """f32 factor (the TPU configuration) as CG preconditioner: converges to
-    1e-11 in O(10) iterations at shell condition ~1e8 (GMRES-IR regime)."""
+    the attainable f64 floor in O(10) iterations at shell condition ~1e8
+    (GMRES-IR regime). The floor on this unscaled random-rhs system is
+    eps*|A||x|/|b| ~ 1e-8 from the beta=1e15 penalty rows (measured 7e-9
+    here; 9e-9 before cg_solve reported TRUE residuals — asking for 1e-11
+    is unattainable for ANY backward-stable f64 solver on this system)."""
     W, ops, dofmaps, A, n = wing_system
     bc = B.BandCholPrecond(W, dofmaps, dtype=jnp.float32)
     state = bc.setup(ops)
     b = jnp.asarray(np.random.default_rng(1).standard_normal(n))
     x, info = cg_solve(A, b, M=lambda v: bc.apply(state, v),
-                       tol=1e-11, maxiter=60)
+                       tol=1e-8, maxiter=60)
     assert bool(info["converged"])
     assert int(info["iters"]) <= 40
     rel = float(jnp.linalg.norm(A(x) - b) / jnp.linalg.norm(b))
-    assert rel < 1e-9, rel
+    assert rel < 2e-8, rel
 
 
 def test_model_penalty_unstructured_wing_scale():
