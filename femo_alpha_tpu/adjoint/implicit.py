@@ -120,7 +120,11 @@ class ImplicitPDE:
         return constrain_residual(r, u, self.free_mask, self.bc_vals)
 
     def _assemble_ops(self, u, params, emf_basis=None):
-        """Element-matrix blocks in the static `_op_specs` layout."""
+        """Element-matrix blocks in the static `_op_specs` layout. ops[0]
+        is emitted in solver_opts['op0_layout'] ('cells' default; 'lane' =
+        the pad-free (nd, nd, nc) TPU layout — an element_matrices_fn with
+        a matching out_layout emits it directly, the generic assembly gets
+        one relayout pass)."""
         if self.element_matrices_fn is not None:
             try:
                 Ae0 = self.element_matrices_fn(u, params, basis=emf_basis)
@@ -128,6 +132,8 @@ class ImplicitPDE:
                 Ae0 = self.element_matrices_fn(u, params)
         else:
             Ae0 = element_matrices(self.form, u, params)
+            if self.solver_opts.get("op0_layout") == "lane":
+                Ae0 = jnp.moveaxis(Ae0, 0, -1)
         ops_Ae = [Ae0]
         for ff in self.facet_forms:
             ops_Ae.extend(Ae for Ae, _ in ff.element_ops(u, params))

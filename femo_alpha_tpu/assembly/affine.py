@@ -250,9 +250,16 @@ class CachedAffineAssembler:
 
     def __init__(self, form, key="thickness", powers=(1, 3),
                  probe_scale=None, chunk=8192, dtype=None, layout="cells",
-                 verify=True, ignore_keys=("F_solid",)):
+                 out_layout=None, verify=True, ignore_keys=("F_solid",)):
         self.form = form
         self.key = key
+        # out_layout: layout of the element matrices this assembler RETURNS
+        # ('cells' (nc, nd, nd) — default — or 'lane' (nd, nd, nc), the
+        # pad-free TPU layout consumed by make_matvec_T / GeometricMG
+        # lane_major mode). Independent of `layout`, which is the basis
+        # STORAGE layout; store and emit in the same layout to make the
+        # combine a pure AXPY with no relayout pass.
+        self.out_layout = out_layout or "cells"
         # parameters that do NOT enter the Jacobian (pure load terms):
         # excluded from the cache key and zeroed in the probe assemblies,
         # so a traced or changing load never forces a rebuild/fallback
@@ -322,22 +329,27 @@ class CachedAffineAssembler:
         return self._aff.basis
 
     def combine(self, theta, basis):
-        """Traceable affine combine with an explicit basis (cell-major out)."""
+        """Traceable affine combine with an explicit basis; returns element
+        matrices in `out_layout` ('cells' (nc, nd, nd) or 'lane'
+        (nd, nd, nc))."""
         th = jnp.asarray(theta).astype(basis.dtype)
         powers = tuple(int(p) for p in self.powers)
         if self.layout == "lane":
             out = (th ** powers[0])[None, None, :] * basis[0]
             for k in range(1, len(powers)):
                 out = out + (th ** powers[k])[None, None, :] * basis[k]
-            return jnp.moveaxis(out, -1, 0)
+            return out if self.out_layout == "lane" else jnp.moveaxis(
+                out, -1, 0)
         out = (th ** powers[0])[:, None, None] * basis[0]
         for k in range(1, len(powers)):
             out = out + (th ** powers[k])[:, None, None] * basis[k]
-        return out
+        return out if self.out_layout == "cells" else jnp.moveaxis(out, 0, -1)
 
     def __call__(self, u, params, basis=None):
         if basis is None:
             basis = self.prepare(params)
         if basis is None:
-            return element_matrices(self.form, u, params, chunk=self.chunk)
+            Ae = element_matrices(self.form, u, params, chunk=self.chunk)
+            return (Ae if self.out_layout == "cells"
+                    else jnp.moveaxis(Ae, 0, -1))
         return self.combine(params[self.key], basis)

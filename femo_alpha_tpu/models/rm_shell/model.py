@@ -170,12 +170,27 @@ class RMShellModel:
 
                     from .mg import build_shell_mg, ShellMGPrecond
 
-                    sdt = (jnp.float32
-                           if _jax.default_backend() == "tpu" else None)
-                    mg = build_shell_mg(pde, self.shell_bc_func, dtype=sdt)
+                    on_tpu = _jax.default_backend() == "tpu"
+                    sdt = jnp.float32 if on_tpu else None
+                    # lane-major (nd, nd, nc) element layout on TPU: pad-free
+                    # lanes + the Pallas cell-matvec kernel for every solve-
+                    # phase matvec and smoother hit (cell-major pads 39 ->
+                    # 128 lanes, ~3.3x HBM traffic). Rides the affine path.
+                    # FEMO_LANE_MAJOR=0/1 overrides (CPU equivalence tests).
+                    import os as _os
+
+                    _lm = _os.environ.get("FEMO_LANE_MAJOR")
+                    use_lane = ((_lm == "1") if _lm is not None else on_tpu)
+                    use_lane = use_lane and (
+                        self.element_wise_material
+                        and self.composite_clt is None and not pde.bot_plane)
+                    mg = build_shell_mg(pde, self.shell_bc_func, dtype=sdt,
+                                        lane_major=use_lane)
                     if mg is not None:
                         opts["precond_factory"] = ShellMGPrecond(
                             mg, dtype=sdt)
+                        if getattr(mg, "lane_major", False):
+                            opts["op0_layout"] = "lane"
                 if "precond_factory" not in opts:
                     from ...solvers.band import band_precond_factory
 
@@ -215,7 +230,9 @@ class RMShellModel:
                 and not pde.bot_plane):
             from ...assembly.affine import CachedAffineAssembler
 
-            emf = CachedAffineAssembler(residual_form)
+            lay = "lane" if opts.get("op0_layout") == "lane" else "cells"
+            emf = CachedAffineAssembler(residual_form, layout=lay,
+                                        out_layout=lay)
 
         fea.add_state(
             "disp_solid",

@@ -18,7 +18,12 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..assembly.assemble import make_matvec, scatter_add
+from ..assembly.assemble import (
+    make_matvec,
+    make_matvec_T,
+    scatter_add,
+    transpose_cellwise_inv,
+)
 from ..assembly.bc import constrain_matvec, lift_rhs
 from .direct import DenseSolver, apply_bc_dense, dense_from_elements
 from .krylov import cg_solve, cg_solve_df, gmres_solve
@@ -60,7 +65,14 @@ class LinearSolver:
     a FunctionSpace/MixedSpace (structured fast path when available) or a raw
     (nc, nd) dofmap; their sum is the raw operator. method: 'dense' | 'cg' |
     'gmres'. pc: 'jacobi' | None. extra_matvec: optional additional linear
-    operator (matrix-free; excluded from the preconditioner)."""
+    operator (matrix-free; excluded from the preconditioner).
+
+    op0_layout: layout of ops[0]'s element matrices — 'cells' (nc, nd, nd)
+    or 'lane' (nd, nd, nc), the pad-free TPU layout (assembly.cell_matvec_T:
+    cell-major pads nd=39 -> 128 lanes on every matvec, ~3.3x HBM traffic;
+    lane-major also rides the Pallas VPU kernel). 'lane' requires ops[0]'s
+    spec to be a space with gather_T/scatter_add_T. Facet blocks (ops[1:])
+    stay cell-major — they are O(boundary) small."""
 
     def __init__(
         self,
@@ -74,6 +86,7 @@ class LinearSolver:
         symmetric=True,
         extra_matvec=None,
         M=None,
+        op0_layout="cells",
     ):
         if not isinstance(ops, (list, tuple)):
             raise TypeError("ops must be a list of (Ae, dofmap) pairs")
@@ -82,6 +95,10 @@ class LinearSolver:
         self.method = method
         self.symmetric = symmetric
         self.tol = tol
+        self.op0_lane = op0_layout == "lane"
+        if self.op0_lane and not hasattr(ops[0][1], "gather_T"):
+            raise ValueError(
+                "op0_layout='lane' requires a space spec with gather_T")
         # CG terminates in <= n iterations in exact arithmetic; allow slack
         # for rounding. A too-small cap silently truncates the solve.
         self.maxiter = maxiter or min(max(500, 10 * n_dofs), 200_000)
@@ -89,9 +106,18 @@ class LinearSolver:
         self.free_mask = (
             jnp.ones(n_dofs, dtype=dtype) if free_mask is None else free_mask
         )
-        mvs = [make_matvec(Ae, dm, n_dofs) for Ae, dm in ops]
-        mvTs = [
-            make_matvec(jnp.swapaxes(Ae, 1, 2), dm, n_dofs) for Ae, dm in ops
+        if self.op0_lane:
+            Ae0, sp0 = ops[0]
+            mvs = [make_matvec_T(Ae0, sp0)]
+            mvTs = [make_matvec_T(jnp.swapaxes(Ae0, 0, 1), sp0)]
+        else:
+            mvs = [make_matvec(ops[0][0], ops[0][1], n_dofs)]
+            mvTs = [make_matvec(jnp.swapaxes(ops[0][0], 1, 2), ops[0][1],
+                                n_dofs)]
+        mvs += [make_matvec(Ae, dm, n_dofs) for Ae, dm in ops[1:]]
+        mvTs += [
+            make_matvec(jnp.swapaxes(Ae, 1, 2), dm, n_dofs)
+            for Ae, dm in ops[1:]
         ]
         if extra_matvec is not None:
             extra_T = jax.linear_transpose(
@@ -104,7 +130,9 @@ class LinearSolver:
         self.matvec = constrain_matvec(self.raw_matvec, self.free_mask)
         self.matvecT = constrain_matvec(self.rawT_matvec, self.free_mask)
         if method == "dense":
-            A = dense_from_elements(ops[0][0], _dm(ops[0][1]), n_dofs)
+            Ae0 = (transpose_cellwise_inv(ops[0][0]) if self.op0_lane
+                   else ops[0][0])
+            A = dense_from_elements(Ae0, _dm(ops[0][1]), n_dofs)
             for Ae, dm in ops[1:]:
                 A = A + dense_from_elements(Ae, _dm(dm), n_dofs)
             if extra_matvec is not None:
@@ -126,8 +154,12 @@ class LinearSolver:
 
     def _build_jacobi(self):
         diag = jnp.zeros(self.n, dtype=self.ops[0][0].dtype)
-        for Ae, dm in self.ops:
-            dc = jnp.diagonal(Ae, axis1=1, axis2=2)
+        for k, (Ae, dm) in enumerate(self.ops):
+            if k == 0 and self.op0_lane:
+                # lane-major (nd, nd, nc): diagonal over the two nd axes
+                dc = jnp.diagonal(Ae, axis1=0, axis2=1)  # (nc, nd)
+            else:
+                dc = jnp.diagonal(Ae, axis1=1, axis2=2)
             if hasattr(dm, "scatter_add"):
                 diag = diag + dm.scatter_add(dc)
             else:

@@ -114,3 +114,97 @@ def test_bench_lane_major_matches_cell_major():
         float(out_c["J"]))
     np.testing.assert_allclose(np.asarray(out_l["grad"]),
                                np.asarray(out_c["grad"]), rtol=1e-6)
+
+
+def test_linear_solver_lane_matches_cells():
+    """LinearSolver(op0_layout='lane'): solve, transpose solve, and the
+    Jacobi preconditioner all match the cell-major path (the library solve
+    path on TPU runs lane-major since round 2)."""
+    from femo_alpha_tpu.solvers.linear import LinearSolver
+
+    mesh, pde, params = _shell()
+    W = pde.W
+    form = pde.make_residual_form()
+    Ae = element_matrices(form, jnp.zeros(W.n_dofs), params)
+    # shift by a cell-wise identity: the raw shell operator with a few
+    # arbitrary constrained dofs retains rigid-body modes, and CG on a
+    # (near-)singular system amplifies path-dependent rounding into
+    # arbitrarily different "solutions" — the comparison needs an SPD system
+    shift = 1e-3 * float(jnp.mean(jnp.abs(jnp.diagonal(
+        Ae, axis1=1, axis2=2))))
+    Ae = Ae + shift * jnp.eye(Ae.shape[1], dtype=Ae.dtype)[None]
+    free = jnp.ones(W.n_dofs).at[:12].set(0.0)
+    rng = np.random.default_rng(3)
+    b = jnp.asarray(rng.standard_normal(W.n_dofs))
+    kw = dict(free_mask=free, method="cg", tol=1e-12)
+    s_cm = LinearSolver([(Ae, W)], W.n_dofs, **kw)
+    s_ln = LinearSolver([(jnp.moveaxis(Ae, 0, -1), W)], W.n_dofs,
+                        op0_layout="lane", **kw)
+    rng_v = jnp.asarray(rng.standard_normal(W.n_dofs))
+    np.testing.assert_allclose(np.asarray(s_ln.matvec(rng_v)),
+                               np.asarray(s_cm.matvec(rng_v)),
+                               rtol=1e-12, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(s_ln.M(rng_v)),
+                               np.asarray(s_cm.M(rng_v)),
+                               rtol=1e-12, atol=1e-14)
+    x_cm = s_cm.solve(b)
+    x_ln = s_ln.solve(b)
+    scale = float(jnp.max(jnp.abs(x_cm)))
+    np.testing.assert_allclose(np.asarray(x_ln), np.asarray(x_cm),
+                               rtol=1e-8, atol=1e-8 * scale)
+    xt_cm = s_cm.solve_transpose(b)
+    xt_ln = s_ln.solve_transpose(b)
+    np.testing.assert_allclose(np.asarray(xt_ln), np.asarray(xt_cm),
+                               rtol=1e-8, atol=1e-8 * scale)
+    # dense path accepts lane-major ops too (converts internally)
+    s_dn = LinearSolver([(jnp.moveaxis(Ae, 0, -1), W)], W.n_dofs,
+                        op0_layout="lane", free_mask=free, method="dense")
+    np.testing.assert_allclose(np.asarray(s_dn.solve(b)), np.asarray(x_cm),
+                               rtol=1e-8, atol=1e-8 * scale)
+
+
+def test_model_library_lane_matches_cells(monkeypatch):
+    """RMShellModel through the lane-major library path (FEMO_LANE_MAJOR=1:
+    lane-major affine fine operator + lane-major MG hierarchy + op0_layout
+    solver wiring — what TPU gets by default) reproduces the cell-major
+    path's solution and thickness gradient."""
+    from femo_alpha_tpu.mesh import createRectangleMesh
+    from femo_alpha_tpu.models import RMShellModel
+
+    def build(lane):
+        monkeypatch.setenv("FEMO_LANE_MAJOR", "1" if lane else "0")
+        mesh = createRectangleMesh(64, 16, (0, 0), (10.0, 2.0), "quad",
+                                   gdim=3)
+        return RMShellModel(mesh, shell_bc_func=lambda x: x[:, 0] < 1e-12,
+                            element_wise_material=True, PENALTY_BC=False)
+
+    m_ln = build(True)
+    op = m_ln.fea.states["disp_solid"].pde
+    assert op.solver_opts.get("op0_layout") == "lane"
+    m_cm = build(False)
+    assert "op0_layout" not in m_cm.fea.states[
+        "disp_solid"].pde.solver_opts
+
+    nel = m_ln.mesh.n_cells
+    nn = m_ln.mesh.n_nodes
+    f = jnp.zeros(3 * nn).at[2::3].set(2.0)
+    E = jnp.full(nel, 4.32e8)
+    nu = jnp.zeros(nel)
+    rho = jnp.full(nel, 100.0)
+    th = jnp.full(nel, 0.2) * (
+        1.0 + 0.05 * jnp.cos(jnp.arange(nel, dtype=jnp.float64)))
+
+    def J(model, th):
+        out = model.evaluate(f, th, E, nu, rho, is_pressure=True)
+        return out.compliance, out.disp_solid
+
+    (J_l, u_l), g_l = jax.value_and_grad(
+        lambda t: J(m_ln, t), has_aux=True)(th)
+    (J_c, u_c), g_c = jax.value_and_grad(
+        lambda t: J(m_cm, t), has_aux=True)(th)
+    assert abs(float(J_l) - float(J_c)) <= 1e-8 * abs(float(J_c))
+    np.testing.assert_allclose(np.asarray(u_l), np.asarray(u_c),
+                               rtol=1e-7, atol=1e-9 * float(
+                                   jnp.max(jnp.abs(u_c))))
+    np.testing.assert_allclose(np.asarray(g_l), np.asarray(g_c), rtol=1e-6,
+                               atol=1e-8 * float(jnp.max(jnp.abs(g_c))))
