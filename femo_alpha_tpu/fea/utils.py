@@ -146,3 +146,65 @@ def computeNodalDisp(space, u):
     nn = space.mesh.n_nodes
     vs = space.value_size
     return jnp.asarray(u)[: nn * vs].reshape(nn, vs)
+
+
+def getCellID(coords, mesh):
+    """Containing-cell id per physical point — parity with getCellID
+    (linear_shell_fenicsx/utils.py:200-218, BoundingBoxTree collision
+    query). Setup-time host code: nearest-midpoint candidates + Newton
+    pull-back (spaces.pointeval)."""
+    space = FunctionSpace(mesh, "P", 1)
+    rows = point_eval_rows(space, np.atleast_2d(np.asarray(coords)))
+    return np.array([c for c, _, _ in rows], dtype=np.int64)
+
+
+def getVertexToDofMap(W):
+    """(n_vertices, vs) dof indices of the displacement subspace's vertex
+    dofs inside the mixed global vector — parity with getVertexToDofMap
+    (linear_shell_fenicsx/utils.py:248-288). The reference needs a
+    cell-walk to invert dolfinx's dof layout; here the layout is explicit
+    by construction (sub0 dofs lead the mixed vector, vertex scalar dofs
+    lead sub0, components interleaved), so the map is an arange."""
+    sub = W.subspaces[0] if hasattr(W, "subspaces") else W
+    nn, vs = sub.mesh.n_nodes, sub.value_size
+    return np.arange(nn * vs, dtype=np.int64).reshape(nn, vs)
+
+
+def applyNodalForces(f_array, W):
+    """Scatter per-vertex forces (n_vertices, vs) into a W-sized load
+    vector at the displacement vertex dofs — parity with applyNodalForces
+    (linear_shell_fenicsx/utils.py:227-246)."""
+    vtx_to_dof = getVertexToDofMap(W)
+    F = np.zeros(W.n_dofs)
+    F[vtx_to_dof.reshape(-1)] = np.asarray(f_array).reshape(-1)
+    return jnp.asarray(F)
+
+
+def projectPointForce(space, f_array, tol=1e-12):
+    """Riesz-map a dual (load) vector into `space`: solve M u = f with the
+    consistent mass matrix — parity with projectPointForce
+    (linear_shell_fenicsx/utils.py:21-48). Vector spaces solve per
+    component against the scalar mass (the vector mass is component-block
+    diagonal)."""
+    from ..solvers.krylov import cg_solve
+    from ..assembly.assemble import make_matvec
+
+    vs = space.value_size
+    scalar = (space if vs == 1 else
+              FunctionSpace(space.mesh, space.family, space.degree))
+    tab = scalar.tabulate(quad_degree=2 * scalar.degree + 2)
+    phi = jnp.asarray(tab.phi)
+
+    def cell_mass(x_cell):
+        _, wdet = map_gradients(x_cell, tab)
+        return jnp.einsum("qa,qb,q->ab", phi, phi, wdet)
+
+    m_c = jax.vmap(cell_mass)(scalar.cell_coords_d)
+    mv = make_matvec(m_c, scalar)
+    f = jnp.asarray(f_array).reshape(scalar.n_dofs, vs)
+    cols = []
+    for comp in range(vs):
+        x, _ = cg_solve(mv, f[:, comp], tol=tol,
+                        maxiter=10 * scalar.n_dofs)
+        cols.append(x)
+    return jnp.stack(cols, axis=1).reshape(-1) if vs > 1 else cols[0]

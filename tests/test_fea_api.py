@@ -75,3 +75,58 @@ def test_exact_solution_error_norm(pm):
     pm2.fea.add_exact_solution("u", exact)
     err2 = float(pm2.fea.compute_error("u", u2))
     assert err2 < 0.3 * err
+
+
+def test_point_and_vertex_utils():
+    """getCellID / getVertexToDofMap / applyNodalForces / projectPointForce
+    parity helpers (linear_shell_fenicsx/utils.py:21-288)."""
+    from femo_alpha_tpu.fea.utils import (
+        applyNodalForces, getCellID, getVertexToDofMap, projectPointForce)
+    from femo_alpha_tpu.mesh import createRectangleMesh
+    from femo_alpha_tpu.spaces import FunctionSpace, MixedSpace
+
+    mesh = createRectangleMesh(8, 4, p0=(0.0, 0.0), p1=(2.0, 1.0),
+                               cell_type="quad", structured=False)
+    # getCellID: cell midpoints must locate to their own cell
+    mids = mesh.cell_midpoints()
+    cells = getCellID(mids[[0, 5, 17]], mesh)
+    assert list(cells) == [0, 5, 17]
+
+    disp = FunctionSpace(mesh, "P", 2, value_size=3)
+    rot = FunctionSpace(mesh, "P", 1, value_size=3)
+    W = MixedSpace(disp, rot)
+    v2d = getVertexToDofMap(W)
+    assert v2d.shape == (mesh.n_nodes, 3)
+
+    f = np.random.default_rng(0).normal(size=(mesh.n_nodes, 3))
+    F = np.asarray(applyNodalForces(f, W))
+    assert F.shape == (W.n_dofs,)
+    np.testing.assert_allclose(F[v2d.reshape(-1)], f.reshape(-1))
+    # nothing outside the vertex displacement dofs
+    mask = np.ones(W.n_dofs, bool)
+    mask[v2d.reshape(-1)] = False
+    assert np.all(F[mask] == 0.0)
+
+    # projectPointForce: Riesz map of M@u must recover u (scalar + vector)
+    V1 = FunctionSpace(mesh, "P", 1)
+    u = np.random.default_rng(1).normal(size=V1.n_dofs)
+    from femo_alpha_tpu.assembly.assemble import make_matvec
+    import jax as _jax
+    from femo_alpha_tpu.assembly.geometry import map_gradients
+    tab = V1.tabulate(quad_degree=4)
+    phi = jnp.asarray(tab.phi)
+
+    def cell_mass(xc):
+        _, wdet = map_gradients(xc, tab)
+        return jnp.einsum("qa,qb,q->ab", phi, phi, wdet)
+
+    mv = make_matvec(_jax.vmap(cell_mass)(V1.cell_coords_d), V1)
+    got = projectPointForce(V1, mv(jnp.asarray(u)))
+    np.testing.assert_allclose(np.asarray(got), u, atol=1e-9)
+
+    V3 = FunctionSpace(mesh, "P", 1, value_size=3)
+    u3 = np.random.default_rng(2).normal(size=(V1.n_dofs, 3))
+    f3 = np.stack([np.asarray(mv(jnp.asarray(u3[:, c])))
+                   for c in range(3)], axis=1).reshape(-1)
+    got3 = projectPointForce(V3, f3)
+    np.testing.assert_allclose(np.asarray(got3), u3.reshape(-1), atol=1e-9)
