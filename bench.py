@@ -195,7 +195,17 @@ def main():
     }
 
     if on_device and not os.environ.get("FEMO_BENCH_SKIP_SCALE"):
-        sc = _bench(SCALE_NX, SCALE_NY, repeats=1)
+        # a failed scale point (OOM, tunnel fault, ...) must never cost the
+        # driver the headline result line: report the error and exit 0
+        try:
+            sc = _bench(SCALE_NX, SCALE_NY, repeats=1)
+        except Exception as e:  # noqa: BLE001
+            msg = " ".join(str(e).splitlines())[:300]
+            print(f"[bench] scale point {SCALE_NX}x{SCALE_NY} failed: "
+                  f"{msg}", file=sys.stderr)
+            result["scale_point"] = {"error": msg}
+            print(json.dumps(result))
+            return
         report(sc, SCALE_NX, SCALE_NY)
         # never burn driver time measuring a multi-minute CPU 1M point live:
         # only a stored baseline is used for the scale speedup

@@ -95,18 +95,27 @@ class FemForm:
             axes[name] = 0
         return out, axes
 
-    def cell_values(self, fn, u, params, chunk=None):
+    def cell_values(self, fn, u, params, chunk=None, remat=False):
         """vmap fn(u_cell, x_cell, pcells) over cells.
 
         chunk: process cells in blocks of this size via lax.map (bounds the
         peak HBM of wide-tangent jacfwd batches on large meshes; the padding
         blowup of tiny trailing dims makes unchunked jacfwd exceed HBM at
-        ~50k+ cells)."""
+        ~50k+ cells).
+
+        remat: jax.checkpoint the per-chunk computation, so a jax.vjp
+        through this assembly saves only the chunk INPUTS and recomputes
+        kernel intermediates in the backward pass. Without it the saved
+        (nq, nc, nd, 3, 3)-shaped kernel intermediates get pathological
+        TPU tile padding (3x3 trailing dims pad ~57x: 162 MB unpadded ->
+        9 GB padded, observed OOM at 512x128 / 65k cells)."""
         uc = self._cast(self.space.gather(jnp.asarray(u)))
         pc, axes = self.gather_params(params)
         xc = self._cast(self.space.cell_coords_d)
         nc = uc.shape[0]
         if chunk is None or nc <= chunk:
+            if remat:
+                fn = jax.checkpoint(fn)
             return jax.vmap(fn, in_axes=(0, 0, axes))(uc, xc, pc)
         # largest divisor of nc that is <= chunk
         c = chunk
@@ -131,6 +140,8 @@ class FemForm:
                 pfull[name] = pc[name]
             return jax.vmap(fn, in_axes=(0, 0, axes))(u_b, x_b, pfull)
 
+        if remat:
+            per_chunk = jax.checkpoint(per_chunk)
         mapped_p = {n: pc_k[n] for n in pc_k if axes[n] == 0}
         out = jax.lax.map(per_chunk, (uc_k, xc_k, mapped_p))
         return out.reshape((nc,) + out.shape[2:])
@@ -139,9 +150,13 @@ class FemForm:
         return [n for n, sp in self.param_specs.items() if sp is None]
 
 
-def assemble_residual(form: FemForm, u, params=None):
+def assemble_residual(form: FemForm, u, params=None, chunk=16384):
+    """Assembled residual vector. Chunked + rematerialized over cells for
+    the same reason element_matrices chunks: on big meshes the energy
+    kernel's fwd (and its jax.vjp-saved) intermediates otherwise blow HBM
+    through TPU tile padding (see cell_values)."""
     params = params or {}
-    rc = form.cell_values(form.kernel, u, params)
+    rc = form.cell_values(form.kernel, u, params, chunk=chunk, remat=True)
     return form.space.scatter_add(rc)
 
 
