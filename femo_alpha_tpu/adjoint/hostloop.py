@@ -1,0 +1,315 @@
+"""Host-orchestrated staged solve for ImplicitPDE — the TPU product path.
+
+One fused XLA program per model pipeline (fea/pipeline.py) is the right
+call on CPU, but on TPU the f64 Krylov while_loop is software-emulated and
+the fused value_and_grad program grows past what the compile toolchain
+survives (measured round 2: 172.7 s compile at 63k dofs; compile-helper
+OOM-kill at 988k). The reference never fuses either: its per-iteration
+flow is assemble -> MUMPS factor -> forward solve -> transposed solve as
+separate native calls (state_operation.py:86-131, :188-220). This module
+is the TPU-native equivalent of that staging: a handful of PERSISTENT
+jitted programs per ImplicitPDE instance
+
+    asm(params, u, aux)      -> residual, element ops, preconditioner state
+    start(... b)             -> preconditioned CG seed
+    chunk(... cg state ...)  -> `chunk` fixed-trip CG iterations
+    true_res(... x, b)       -> true residual + re-seeded CG state
+    vjp_params(params,u,lam) -> -(dR/dparams)^T lam
+
+with the convergence loop on the HOST (one scalar sync per chunk). Each
+program is small, compiles in seconds, and is reused verbatim by the
+forward and adjoint solves of every design iteration (same programs, new
+arguments). The CG vector state uses float-float (two f32 words) on TPU
+f64 systems — solvers/dfloat.py; measured 2.8-16x over XLA-emulated f64
+vector ops — while the operator and preconditioner stay the solver's own
+dtype.
+
+Requires concrete (non-traced) inputs: the loop runs on the host. Under a
+JAX trace, ImplicitPDE.solve dispatches to the fused staged path instead
+(adjoint/implicit.py), so jit'd pipelines keep working.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.logging import log
+
+
+def hostloop_auto(solver_opts) -> bool:
+    """Whether the hostloop execution path should drive this PDE's solves.
+
+    solver_opts['execution']: 'hostloop' | 'fused' | 'auto' (default).
+    auto = TPU backend + iterative symmetric CG (the configuration whose
+    fused compile is pathological; CPU f64 is native and fuses fine).
+    """
+    # the hostloop is a PCG orchestration: it only ever applies to the
+    # iterative symmetric configuration, no matter what overrides say
+    # (dense/direct solves have nothing to chunk; GMRES state does not
+    # fit the chunk protocol)
+    if (solver_opts.get("method", "cg") != "cg"
+            or not solver_opts.get("symmetric", True)):
+        return False
+    mode = solver_opts.get("execution", "auto")
+    if mode == "hostloop":
+        return True
+    if mode == "fused":
+        return False
+    import os
+
+    flag = os.environ.get("FEMO_HOSTLOOP")
+    if flag is not None:
+        return flag == "1"
+    return jax.default_backend() == "tpu"
+
+
+def _identity(x):
+    return x
+
+
+class HostloopPrograms:
+    """Persistent jitted stage programs + host CG orchestration for one
+    ImplicitPDE. All element ops / preconditioner state / parameters are
+    runtime ARGUMENTS so one compiled program serves every design
+    iteration (and both the forward and the adjoint solve)."""
+
+    def __init__(self, pde):
+        self.pde = pde
+        opts = pde.solver_opts
+        self.tol = float(opts.get("tol", 1e-12))
+        n = pde.n_dofs
+        self.maxiter = int(opts.get("maxiter")
+                           or min(max(500, 10 * n), 200_000))
+        self.chunk = int(opts.get("chunk", 32))
+        self.restarts = int(opts.get("restarts", 4))
+        # outer refinement passes beyond the mandated Newton iterations:
+        # the CG true-residual floor is eps*||A||*||x||/||b|| through the
+        # element-matrix matvec, but re-assembling the residual (per-cell
+        # energy gradient, f64) and re-solving the correction drives the
+        # ASSEMBLY-true residual to its own (lower) floor — the metric
+        # BASELINE.md's 1e-8 nodal bar is judged by. Same mechanism for the
+        # adjoint, with A^T lam re-computed through jax.vjp of the residual.
+        self.refine_passes = int(opts.get("refine_passes", 3))
+        # quality bar for the loud warning (the north-star accuracy bar;
+        # tol itself may sit below the f64 floor by design)
+        self.warn_rel = float(opts.get("warn_rel", 1e-8))
+        self._build_programs()
+
+    # ---------------------------------------------------------- programs
+    def _build_programs(self):
+        pde = self.pde
+
+        def mv_M(params, u, ops_Ae, M_state):
+            solver = pde._solver_from(ops_Ae, M_state, u, params)
+            return solver.matvec, (solver.M or _identity)
+
+        @jax.jit
+        def asm(params, u0, aux):
+            emf_basis, pc_aux = aux
+            f = pde.free_mask
+            u = f * u0 + (1.0 - f) * pde.bc_vals
+            r = pde.residual(u, params)
+            ops_Ae = pde._assemble_ops(u, params, emf_basis=emf_basis)
+            M_state = (pde._pc.setup_state(u, params, ops_Ae, pc_aux)
+                       if pde._pc is not None else None)
+            return u, r, ops_Ae, M_state
+
+        @jax.jit
+        def start(params, u, ops_Ae, M_state, b):
+            _, M = mv_M(params, u, ops_Ae, M_state)
+            z = M(b)
+            return z, jnp.vdot(b, z), jnp.linalg.norm(b)
+
+        @jax.jit
+        def chunk_plain(params, u, ops_Ae, M_state, x, r, z, p, rz, target):
+            from ..solvers.krylov import cg_chunk_iterations
+
+            mv, M = mv_M(params, u, ops_Ae, M_state)
+            return cg_chunk_iterations(mv, M, self.chunk, x, r, z, p, rz,
+                                       target)
+
+        @jax.jit
+        def chunk_df(params, u, ops_Ae, M_state, x, r, z, p, rz64, target):
+            from ..solvers.dfloat import (
+                df_axpy,
+                df_dot,
+                df_from_f64,
+                df_neg,
+                df_to_f64,
+            )
+
+            mv, M = mv_M(params, u, ops_Ae, M_state)
+
+            def body(_, st):
+                x, r, z, p, rz64 = st
+                Ap = df_from_f64(mv(df_to_f64(p)))
+                pAp64 = df_to_f64(df_dot(p, Ap))
+                rnorm2 = df_to_f64(df_dot(r, r))
+                active = rnorm2 > target * target
+                alpha64 = jnp.where(
+                    active, rz64 / jnp.where(pAp64 != 0, pAp64, 1.0), 0.0)
+                alpha = df_from_f64(alpha64)
+                x = df_axpy(alpha, p, x)
+                r = df_axpy(df_neg(alpha), Ap, r)
+                z = df_from_f64(M(df_to_f64(r)))
+                rz_new64 = df_to_f64(df_dot(r, z))
+                beta64 = jnp.where(
+                    active, rz_new64 / jnp.where(rz64 != 0, rz64, 1.0), 0.0)
+                p = df_axpy(df_from_f64(beta64), p, z)
+                rz64 = jnp.where(active, rz_new64, rz64)
+                return (x, r, z, p, rz64)
+
+            x, r, z, p, rz64 = jax.lax.fori_loop(
+                0, self.chunk, body, (x, r, z, p, rz64))
+            return x, r, z, p, rz64, jnp.sqrt(df_to_f64(df_dot(r, r)))
+
+        @jax.jit
+        def true_res(params, u, ops_Ae, M_state, x, b):
+            """True residual at x + re-seeded CG state (restart)."""
+            mv, M = mv_M(params, u, ops_Ae, M_state)
+            r = b - mv(x)
+            z = M(r)
+            return r, z, jnp.vdot(r, z), jnp.linalg.norm(r)
+
+        @jax.jit
+        def vjp_params(params, u, lam):
+            _, vjp_fn = jax.vjp(lambda p: pde.residual(u, p), params)
+            (gp,) = vjp_fn(lam)
+            return jax.tree.map(lambda a: -a, gp)
+
+        @jax.jit
+        def adj_true_res(params, u, lam, b):
+            """Assembly-grade adjoint residual b - f*(dR/du)^T(f*lam): the
+            vjp through the per-cell energy-gradient assembly, not the
+            gathered element-matrix matvec — the refinement ground truth."""
+            f = pde.free_mask
+            _, vjp_fn = jax.vjp(lambda v: pde.residual(v, params), u)
+            (Atlam,) = vjp_fn(f * lam)
+            r = b - f * Atlam
+            return r, jnp.linalg.norm(r)
+
+        self._asm = asm
+        self._start = start
+        self._chunk_plain = chunk_plain
+        self._chunk_df = chunk_df
+        self._true_res = true_res
+        self._adj_true_res = adj_true_res
+        self.vjp_params = vjp_params
+
+    # ------------------------------------------------------ host solves
+    def _use_df(self, dtype):
+        from ..solvers.linear import _use_df_vectors
+
+        return _use_df_vectors(dtype)
+
+    def solve_linear(self, params, u, ops_Ae, M_state, b, label=""):
+        """Host-chunked PCG for the constrained system, with true-residual
+        restarts: the loop exits on the recurrence residual, verifies
+        against b - A x, and re-enters (fresh Krylov space) until the TRUE
+        relative residual meets tol or maxiter is exhausted. Returns
+        (x, iters, true_relres)."""
+        bnorm = float(jnp.linalg.norm(b))
+        if bnorm == 0.0:
+            return jnp.zeros_like(b), 0, 0.0
+        target = jnp.asarray(max(self.tol * bnorm, 1e-300), b.dtype)
+        use_df = self._use_df(b.dtype)
+        if use_df:
+            from ..solvers.dfloat import df_from_f64, df_to_f64
+
+        x64 = jnp.zeros_like(b)
+        r64 = b
+        z64, rz, rn = self._start(params, u, ops_Ae, M_state, b)
+        it = 0
+        resnorm = bnorm
+        for _ in range(self.restarts + 1):
+            if use_df:
+                x, r, z, p = (df_from_f64(v)
+                              for v in (x64, r64, z64, z64))
+                run = self._chunk_df
+            else:
+                x, r, z, p = x64, r64, z64, z64
+                run = self._chunk_plain
+            while resnorm > float(target) and it < self.maxiter:
+                x, r, z, p, rz, rn = run(params, u, ops_Ae, M_state,
+                                         x, r, z, p, rz, target)
+                resnorm = float(rn)
+                it += self.chunk
+            x64 = df_to_f64(x) if use_df else x
+            # recurrence test fired (or budget ran out): verify truth
+            r64, z64, rz, rn = self._true_res(params, u, ops_Ae, M_state,
+                                              x64, b)
+            resnorm = float(rn)
+            if resnorm <= float(target) or it >= self.maxiter:
+                break
+        rel = resnorm / bnorm
+        return x64, it, rel
+
+    def forward(self, params, u0, aux):
+        """Newton iteration with host-chunked linear solves, continued past
+        the mandated `newton_iters` as iterative refinement: each extra
+        pass re-assembles the residual at the updated state (per-cell f64
+        energy gradient — assembly-grade truth, below the CG matvec's
+        attainable-accuracy floor) and re-solves the correction, until the
+        ASSEMBLY-true relative residual meets tol or stalls. Returns
+        (u, (ops_Ae, M_state)) with ops linearized at the RETURNED u."""
+        pde = self.pde
+        u = u0
+        bnorm = prev = None
+        k = 0
+        total = pde.newton_iters + self.refine_passes
+        while True:
+            u, r, ops_Ae, M_state = self._asm(params, u, aux)
+            rn = float(jnp.linalg.norm(r))
+            if bnorm is None:
+                bnorm = max(rn, 1e-300)
+            rel = rn / bnorm
+            stalled = prev is not None and rn > 0.5 * prev
+            if k >= pde.newton_iters and (rel <= self.tol or k >= total
+                                          or stalled):
+                if rel > self.warn_rel:
+                    log(f"hostloop forward: assembly-true rel_res "
+                        f"{rel:.2e} after {k} outer passes (tol "
+                        f"{self.tol:.1e}) — check conditioning/"
+                        "preconditioner")
+                break
+            prev = rn
+            du, _, _ = self.solve_linear(params, u, ops_Ae, M_state, r,
+                                         label=" fwd")
+            u = u - du
+            k += 1
+        return u, (ops_Ae, M_state)
+
+    def solve_adjoint(self, params, u, ops_Ae, M_state, g):
+        """A^T lam = f*g with zero rows at BC dofs; the masked operator is
+        symmetric for the energy-Hessian systems this path serves, so the
+        same compiled programs do the transpose solve (the reference's
+        solveTranspose on the shared MUMPS factorization,
+        state_operation.py:212-218). Refined like `forward`: the correction
+        loop re-computes b - A^T lam through jax.vjp of the residual
+        assembly until the true relative residual meets tol or stalls."""
+        pde = self.pde
+        b = pde.free_mask * g
+        bnorm = float(jnp.linalg.norm(b))
+        if bnorm == 0.0:
+            return jnp.zeros_like(b)
+        lam, _, _ = self.solve_linear(params, u, ops_Ae, M_state, b,
+                                      label=" adj")
+        lam = pde.free_mask * lam
+        prev = None
+        for k in range(self.refine_passes + 1):
+            r, rn = self._adj_true_res(params, u, lam, b)
+            rn = float(rn)
+            rel = rn / bnorm
+            stalled = prev is not None and rn > 0.5 * prev
+            if rel <= self.tol or k == self.refine_passes or stalled:
+                if rel > self.warn_rel:
+                    log(f"hostloop adjoint: vjp-true rel_res {rel:.2e} "
+                        f"after {k} refinement passes (tol {self.tol:.1e})"
+                        " — check conditioning/preconditioner")
+                break
+            prev = rn
+            dlam, _, _ = self.solve_linear(params, u, ops_Ae, M_state, r,
+                                           label=" adj")
+            lam = pde.free_mask * (lam + dlam)
+        return lam

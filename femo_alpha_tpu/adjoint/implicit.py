@@ -104,8 +104,23 @@ class ImplicitPDE:
             self._aux_now = None
             self._jit_fwd = jax.jit(self._newton_state)
             self._jit_bwd = jax.jit(self._bwd_impl)
+            # hostloop twin (adjoint/hostloop.py): host-orchestrated CG over
+            # the same staged programs — the TPU default, where one fused
+            # f64-Krylov program is a compile-time pathology (round-2
+            # VERDICT: 172s compile at 63k dofs, compile-helper OOM at
+            # 988k). Dispatch happens INSIDE the custom_vjp fwd/bwd —
+            # which receive concrete primal values even under an eager
+            # jax.grad — not in solve(), which only ever sees tracers
+            # during differentiation.
+            from .hostloop import HostloopPrograms, hostloop_auto
+
+            self._hostloop_enabled = hostloop_auto(self.solver_opts)
+            self._hostloop = (HostloopPrograms(self)
+                              if self._hostloop_enabled else None)
             self._solve = _build_staged_vjp(self)
         else:
+            self._hostloop_enabled = False
+            self._hostloop = None
             self._solve = _build_custom_vjp_solve(self)
         ImplicitPDE._instances.append(self)
 
@@ -137,6 +152,13 @@ class ImplicitPDE:
         ops_Ae = [Ae0]
         for ff in self.facet_forms:
             ops_Ae.extend(Ae for Ae, _ in ff.element_ops(u, params))
+        if getattr(self, "shard_spec", None) is not None:
+            # multi-chip product path (parallel/product.py): split the fine
+            # operator block over the cell axis; XLA's SPMD partitioner then
+            # distributes every consumer (matvecs, smoothers, vjp kernels)
+            from ..parallel.product import shard_ops
+
+            ops_Ae = shard_ops(self, ops_Ae)
         return ops_Ae
 
     def _solver_from(self, ops_Ae, M_state, u, params) -> LinearSolver:
@@ -189,6 +211,19 @@ class ImplicitPDE:
             extra_matvec=extra_lin, M=M, **opts,
         )
 
+    def _setup_pc_state(self, u, params, ops_Ae, pc_aux):
+        """Preconditioner state (traceable pytree), sharded over the cell
+        axis when a multi-chip shard spec is installed
+        (parallel/product.py: the V-cycle smoother matvecs then run SPMD
+        like the fine operator's)."""
+        if self._pc is None:
+            return None
+        st = self._pc.setup_state(u, params, ops_Ae, pc_aux)
+        spec = getattr(self, "shard_spec", None)
+        if spec is not None and hasattr(self._pc, "shard_state"):
+            st = self._pc.shard_state(st, spec)
+        return st
+
     # -------------------------------------------------- staged pieces
     def _newton_state(self, params, u0, aux):
         """Fixed-iteration Newton returning (u, linearization state)."""
@@ -199,8 +234,7 @@ class ImplicitPDE:
         for _ in range(self.newton_iters):
             r = self.residual(u, params)
             ops_Ae = self._assemble_ops(u, params, emf_basis=emf_basis)
-            M_state = (self._pc.setup_state(u, params, ops_Ae, pc_aux)
-                       if self._pc is not None else None)
+            M_state = self._setup_pc_state(u, params, ops_Ae, pc_aux)
             solver = self._solver_from(ops_Ae, M_state, u, params)
             du = solver.solve(r)
             u = u - du
@@ -212,8 +246,7 @@ class ImplicitPDE:
             # O(||u_N - u_{N-1}||). (Linear problems have state-independent
             # ops; skip the extra assembly.)
             ops_Ae = self._assemble_ops(u, params, emf_basis=emf_basis)
-            M_state = (self._pc.setup_state(u, params, ops_Ae, pc_aux)
-                       if self._pc is not None else None)
+            M_state = self._setup_pc_state(u, params, ops_Ae, pc_aux)
         return u, (ops_Ae, M_state)
 
     def _bwd_impl(self, params, u, ops_Ae, M_state, g):
@@ -232,7 +265,12 @@ class ImplicitPDE:
         pca = ()
         if self._pc is not None:
             pca = self._pc.prepare(params)
-        return (emb, pca)
+        aux = (emb, pca)
+        if getattr(self, "shard_spec", None) is not None:
+            from ..parallel.product import shard_aux
+
+            aux = shard_aux(self, aux)
+        return aux
 
     def _newton(self, params, u0):
         """Legacy traceable Newton (used by the non-staged path)."""
@@ -275,6 +313,13 @@ class ImplicitPDE:
         return self._solve(params, u0, aux)
 
 
+def _any_traced(tree) -> bool:
+    import jax.core
+
+    return any(isinstance(x, jax.core.Tracer)
+               for x in jax.tree.leaves(tree))
+
+
 def _build_staged_vjp(pde: ImplicitPDE):
     # aux is a formal custom_vjp argument (NOT a closure): under an outer
     # jit (fea.pipeline.compile_pipeline) it is a traced pytree, and
@@ -282,18 +327,31 @@ def _build_staged_vjp(pde: ImplicitPDE):
     # is zero by construction: the affine basis is exactly
     # design-independent, and non-design parameters are frozen while a
     # compiled pipeline is alive (see compile_pipeline docstring).
+    def _hostloop_ok(*trees):
+        return pde._hostloop is not None and not _any_traced(trees)
+
     @jax.custom_vjp
     def solve(params, u0, aux):
+        if _hostloop_ok(params, u0, aux):
+            u, _ = pde._hostloop.forward(params, u0, aux)
+            return u
         u, _ = pde._jit_fwd(params, u0, aux)
         return u
 
     def fwd(params, u0, aux):
-        u, state = pde._jit_fwd(params, u0, aux)
+        if _hostloop_ok(params, u0, aux):
+            u, state = pde._hostloop.forward(params, u0, aux)
+        else:
+            u, state = pde._jit_fwd(params, u0, aux)
         return u, (params, u, state, aux)
 
     def bwd(res, g):
         params, u, (ops_Ae, M_state), aux = res
-        gp = pde._jit_bwd(params, u, ops_Ae, M_state, g)
+        if _hostloop_ok(params, u, ops_Ae, M_state, g):
+            lam = pde._hostloop.solve_adjoint(params, u, ops_Ae, M_state, g)
+            gp = pde._hostloop.vjp_params(params, u, lam)
+        else:
+            gp = pde._jit_bwd(params, u, ops_Ae, M_state, g)
         zaux = jax.tree.map(jnp.zeros_like, aux)
         return gp, jnp.zeros_like(g), zaux
 

@@ -187,12 +187,49 @@ class FEA:
 
     def evaluate_output(self, name, vals):
         """vals: dict of state+input arrays. Returns scalar (device)."""
-        out = self.outputs[name]
-        if out.form is not None:
-            u_name = out.arguments[0]
-            params = {k: vals[k] for k in out.arguments[1:]}
-            return assemble_scalar(out.form, vals[u_name], params)
-        return out.fn(vals)
+        return self._output_program(self.outputs, name)(
+            self._output_args(self.outputs[name], vals))
 
     def evaluate_field_output(self, name, vals):
-        return self.field_outputs[name].fn(vals)
+        return self._output_program(self.field_outputs, name)(
+            self._output_args(self.field_outputs[name], vals))
+
+    def _output_args(self, out, vals):
+        """The subset of vals the output declares via `arguments` — keeps
+        the jitted program's signature independent of previously computed
+        outputs accumulating in vals. Outputs registered without arguments
+        receive the full dict (their program retraces if its key set
+        changes, which is benign for eager use)."""
+        if out.arguments:
+            return {k: vals[k] for k in out.arguments}
+        return dict(vals)
+
+    def _output_program(self, table, name):
+        """Each output functional as ONE persistent jitted program (keyed by
+        output name). On the hostloop execution path (adjoint/hostloop.py)
+        the pipeline runs eagerly between staged solve programs; without
+        this, every assemble_scalar would dispatch op-by-op — ~20 ms per op
+        over the TPU tunnel (fea/pipeline.py). Inside a fused
+        compile_pipeline trace the inner pjit call is simply absorbed."""
+        cache = getattr(self, "_output_jits", None)
+        if cache is None:
+            cache = self._output_jits = {}
+        key = (id(table), name)
+        prog = cache.get(key)
+        if prog is None:
+            out = table[name]
+            if out.form is not None:
+                u_name = out.arguments[0]
+                pkeys = list(out.arguments[1:])
+                form = out.form
+
+                def run(sub):
+                    params = {k: sub[k] for k in pkeys}
+                    return assemble_scalar(form, sub[u_name], params)
+
+            else:
+                run = out.fn
+            import jax
+
+            prog = cache[key] = jax.jit(run)
+        return prog

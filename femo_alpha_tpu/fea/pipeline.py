@@ -66,6 +66,19 @@ class _CompiledPipeline:
         self._auxes = [p._aux_now for p in pdes]
         fn = self._fn
 
+        # hostloop PDEs (adjoint/hostloop.py — the TPU path) run their
+        # convergence loops on the host, so the pipeline CANNOT be one
+        # fused program; instead it executes eagerly per call, with the
+        # solves and per-output functionals as persistent jitted programs
+        # (the glue between them dispatches asynchronously). This is the
+        # same staging the round-1 bench proved at 988k dofs, now behind
+        # the product API.
+        self._eager = any(getattr(p, "_hostloop_enabled", False)
+                          for p in pdes)
+        if self._eager:
+            self._inner = None
+            return
+
         @jax.jit
         def inner(args, auxes):
             ids = [id(p) for p in self._pdes]
@@ -79,6 +92,14 @@ class _CompiledPipeline:
         self._inner = inner
 
     def __call__(self, *args):
+        if self._eager:
+            ids = [id(p) for p in self._pdes]
+            _AUX_OVERRIDE.update(zip(ids, self._auxes))
+            try:
+                return self._fn(*args)
+            finally:
+                for i in ids:
+                    _AUX_OVERRIDE.pop(i, None)
         return self._inner(args, self._auxes)
 
     def refresh(self, *args):
