@@ -169,6 +169,39 @@ def assemble_scalar(form_or_space, kernel_or_u=None, u=None, params=None):
     return jnp.sum(vals)
 
 
+def assemble_scalar_subset(form: FemForm, u, params, cells):
+    """Sum of cell energies over a STATIC subset of cells — O(|subset|)
+    gather + kernel work instead of mask-scaling the full mesh. This is the
+    TPU equivalent of the reference's tagged custom measures
+    (createCustomMeasure, utils_dolfinx.py:555-565; per-tag pnorm outputs,
+    rm_shell_model.py:457-462): the subset's dofmap/coords/param rows are
+    indexed once at trace time, so an output over an n-cell tag costs n
+    cells of work however many tags the model carries.
+
+    cells: concrete integer cell indices (host array — baked static)."""
+    import numpy as np
+
+    cells_d = jnp.asarray(np.asarray(cells, dtype=np.int32))
+    space = form.space
+    uc = form._cast(gather_dofs(jnp.asarray(u), space.dofmap_d[cells_d]))
+    xc = form._cast(space.cell_coords_d[cells_d])
+    pc, axes = {}, {}
+    for name, sp in form.param_specs.items():
+        v = params[name]
+        if sp is None:
+            pc[name] = v
+            axes[name] = None
+        else:
+            pc[name] = form._cast(
+                gather_dofs(jnp.asarray(v), sp.dofmap_d[cells_d]))
+            axes[name] = 0
+    for name, v in form.cell_consts.items():
+        pc[name] = form._cast(v[cells_d])
+        axes[name] = 0
+    vals = jax.vmap(form.energy_kernel, in_axes=(0, 0, axes))(uc, xc, pc)
+    return jnp.sum(vals)
+
+
 def element_matrices(form: FemForm, u, params=None, chunk=16384):
     """Per-cell Jacobian dR_cell/du_cell: (nc, nd, nd). Replaces
     `ufl.derivative(R, u)` + FFCx matrix kernels (fea_dolfinx.py:81-82).

@@ -230,3 +230,11 @@ class ShellMGPrecond:
     def apply_state(self, state, v):
         sdt = state["Ae"][0].dtype
         return self.mg.apply(state, v.astype(sdt)).astype(v.dtype)
+
+    def shard_state(self, state, spec):
+        """Multi-chip product path (parallel/product.py): constrain each
+        level's element matrices over the cell axis so the V-cycle's
+        smoother/residual matvecs partition SPMD with the fine operator."""
+        from ...parallel.product import shard_mg_state
+
+        return shard_mg_state(self.mg, state, spec)

@@ -266,20 +266,26 @@ class RMShellModel:
             form=pde.pnorm_stress_form(m=self.m, rho=self.rho),
             arguments=["disp_solid", "thickness", "E", "nu", "uhat"],
         )
+        if getattr(self, "subdomain_masks", {}):
+            # one unmasked pnorm form shared by every tag; each tag's output
+            # assembles over ONLY its own cells (O(|tag|) gather + kernel,
+            # not O(n_tags x nel) mask-scaled full-mesh passes — round-2
+            # review weak #7). Reference: per-tag dx(tag) custom measures,
+            # rm_shell_model.py:101-133, :457-462.
+            tag_form = pde.pnorm_stress_form(m=self.m, rho=self.rho)
         for tag, mask in getattr(self, "subdomain_masks", {}).items():
-            form = pde.pnorm_stress_form(m=self.m, rho=self.rho,
-                                         cell_mask=mask)
+            cells = np.nonzero(np.asarray(mask) > 0.0)[0].astype(np.int32)
 
-            def make_fn(form=form, mask=mask):
+            def make_fn(cells=cells):
                 def fn(vals):
-                    from ...assembly.assemble import assemble_scalar
+                    from ...assembly.assemble import assemble_scalar_subset
 
                     params = {
                         k: vals[k]
                         for k in ["thickness", "E", "nu", "uhat"]
                     }
-                    params["_mask"] = jnp.asarray(mask)
-                    return assemble_scalar(form, vals["disp_solid"], params)
+                    return assemble_scalar_subset(
+                        tag_form, vals["disp_solid"], params, cells)
 
                 return fn
 

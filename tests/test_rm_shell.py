@@ -168,6 +168,11 @@ def test_subdomain_pnorm_outputs():
     agg_root = float(out.pnorm_stress_root) ** (1 / 100)
     agg_tip = float(out.pnorm_stress_tip) ** (1 / 100)
     assert agg_root > agg_tip
+    # tags partition the mesh, and the subset-cell assembly shares the
+    # global form's alpha, so the per-tag pnorms must sum to the global
+    # pnorm exactly (validates assemble_scalar_subset == mask semantics)
+    total = float(out.pnorm_stress_root) + float(out.pnorm_stress_tip)
+    assert abs(total - float(out.pnorm_stress)) < 1e-12 * abs(total)
 
 
 def test_stress_field_output_shape(small_shell):
