@@ -31,6 +31,9 @@ class OptimizationProblem:
         self.result = None
 
     def add_design_variable(self, name, init, lower=None, upper=None):
+        """lower/upper: scalar or array broadcastable to init's shape (array
+        bounds pin individual entries — e.g. shape variables clamped to zero
+        at root nodes, the reference's FFD-frozen geometry dofs)."""
         init = np.atleast_1d(np.asarray(init, dtype=np.float64))
         self.dvs[name] = dict(init=init, lower=lower, upper=upper,
                               size=init.size, shape=init.shape)
@@ -144,7 +147,18 @@ class OptimizationProblem:
         for k, spec in self.dvs.items():
             lo = spec["lower"]
             up = spec["upper"]
-            lo_up += [(lo, up)] * spec["size"]
+            if lo is None and up is None:
+                lo_up += [(None, None)] * spec["size"]
+                continue
+
+            def _arr(v):
+                if v is None:
+                    return [None] * spec["size"]
+                a = np.broadcast_to(np.asarray(v, dtype=np.float64),
+                                    spec["shape"]).ravel()
+                return list(a)
+
+            lo_up += list(zip(_arr(lo), _arr(up)))
         if any(l is not None or u is not None for l, u in lo_up):
             bounds = lo_up
 
