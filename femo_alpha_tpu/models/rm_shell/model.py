@@ -591,13 +591,18 @@ class RMShellModel:
         constraint evaluation re-solves the eigenproblem, exactly as the
         reference re-solves its PDE per design iteration.
 
-        Use under EAGER autodiff (`jax.grad`/`value_and_grad` without jit;
-        `OptimizationProblem(ev, jit=False)`): inside a jitted program the
-        callback executes on the XLA runtime's worker thread, and its
-        nested jax executions (the eigensolve) can deadlock against the
-        outer program on hosts with few cores (observed nondeterministically
-        on a 1-core CPU box; eager runs are re-entrancy-safe because the
-        callback executes synchronously on the caller's thread)."""
+        jit usage: inside a jitted program the callback executes on the XLA
+        runtime's worker thread, and a CACHE MISS there runs the eigensolve
+        as nested jax work, which can deadlock against the outer program on
+        hosts with few cores (observed nondeterministically on a 1-core CPU
+        box). The memoization below makes the jitted path safe whenever the
+        design point was warmed EAGERLY first: call this method once with
+        concrete inputs before the jitted program runs — exactly what
+        `OptimizationProblem(..., precompute=[hook])` automates per design
+        point (tests/test_modal.py::
+        test_frequency_constrained_optimization_jitted). Eager autodiff
+        (`OptimizationProblem(ev, jit=False)`) needs no warming: the
+        callback then executes synchronously on the caller's thread."""
         import jax
 
         k = int(n_modes)

@@ -21,14 +21,35 @@ from ..utils.logging import log
 class OptimizationProblem:
     """evaluate: dict(design arrays) -> dict-like with scalar outputs."""
 
-    def __init__(self, evaluate, jit=True):
+    def __init__(self, evaluate, jit=True, precompute=()):
+        """precompute: callables(dvs_dict) run EAGERLY on the caller thread
+        at each new design point, BEFORE the jitted objective/constraint
+        programs execute. This is how host-solved quantities join a jitted
+        pipeline safely: e.g. RMShellModel.modal_eigenvalues memoizes its
+        eigensolve per design point, so an eager warm call here means the
+        pure_callback inside the jitted program is a pure cache lookup (no
+        nested jax work on the XLA runtime thread — the few-core deadlock
+        documented in models/rm_shell/model.py is structurally avoided)."""
         self._evaluate = evaluate
         self.jit = jit
+        self.precompute = list(precompute)
+        self._last_precompute_x = None
         self.dvs: dict[str, dict] = {}
         self.objective = None
         self.obj_scaler = 1.0
         self.constraints: list[dict] = []
         self.result = None
+
+    def _run_precompute(self, x):
+        if not self.precompute:
+            return
+        key = np.asarray(x).tobytes()
+        if key == self._last_precompute_x:
+            return
+        self._last_precompute_x = key
+        dvs = self._unpack(np.asarray(x))
+        for fn in self.precompute:
+            fn(dvs)
 
     def add_design_variable(self, name, init, lower=None, upper=None):
         """lower/upper: scalar or array broadcastable to init's shape (array
@@ -105,6 +126,7 @@ class OptimizationProblem:
         obj_vg = self._scalar_fn(self.objective, self.obj_scaler)
 
         def obj(x):
+            self._run_precompute(x)
             v, g = obj_vg(jnp.asarray(x))
             return float(v), np.asarray(g, dtype=np.float64)
 
@@ -117,10 +139,12 @@ class OptimizationProblem:
                 # scipy SLSQP accepts vector-valued constraint functions:
                 # fun -> (m,), jac -> (m, n); scalars are m=1
                 def fun(x):
+                    self._run_precompute(x)
                     v, _ = vg(jnp.asarray(x))
                     return sign * (np.asarray(v, dtype=np.float64) - shift)
 
                 def jac(x):
+                    self._run_precompute(x)
                     _, J = vg(jnp.asarray(x))
                     return sign * np.asarray(J, dtype=np.float64)
 

@@ -239,3 +239,52 @@ def test_frequency_constrained_optimization():
     th = np.asarray(dvs["thickness"]).reshape(-1)
     xc = np.asarray(mesh.coords)[np.asarray(mesh.conn)].mean(axis=1)[:, 0]
     assert th[xc < 0.25].mean() > th[xc > 0.75].mean()
+
+
+def test_frequency_constrained_optimization_jitted():
+    """Same workload as above but under OptimizationProblem(jit=True) on
+    this few-core host — round-2 VERDICT item 7. The precompute hook warms
+    model.modal_eigenvalues EAGERLY at each new design point (populating
+    its per-design-point memoization), so the pure_callback inside the
+    jitted objective/constraint programs is a pure cache lookup with no
+    nested jax work on the XLA runtime thread."""
+    from femo_alpha_tpu.assembly.assemble import assemble_scalar
+    from femo_alpha_tpu.opt import OptimizationProblem
+
+    mesh, _, _, _, rho = _setup(nx=6, ny=3, L=1.0, W=0.5)
+    nel = mesh.n_cells
+    h0 = 0.01
+    E = jnp.full(nel, 7.0e10)
+    nu = jnp.full(nel, 0.3)
+    dens = jnp.full(nel, rho)
+    model = _model(mesh)
+    mass_form = model.shell_pde.mass_form()
+    uhat0 = jnp.zeros(model.shell_pde.VU.n_dofs)
+
+    lam0 = float(model.modal_eigenvalues(jnp.full(nel, h0), E, nu, dens,
+                                         n_modes=1)[0])
+    target = 1.1 ** 2 * lam0
+
+    def ev(dv):
+        th = dv["thickness"]
+        lam1 = model.modal_eigenvalues(th, E, nu, dens, n_modes=1)[0]
+        mass = assemble_scalar(mass_form, th,
+                               {"density": dens, "uhat": uhat0})
+        return {"lam1": lam1, "mass": mass}
+
+    def warm_modal(dv):
+        model.modal_eigenvalues(jnp.asarray(dv["thickness"]), E, nu, dens,
+                                n_modes=1)
+
+    mass0 = float(ev({"thickness": jnp.full(nel, h0)})["mass"])
+    prob = OptimizationProblem(ev, jit=True, precompute=[warm_modal])
+    prob.add_design_variable("thickness", h0 * np.ones(nel),
+                             lower=0.5 * h0, upper=3 * h0)
+    prob.set_objective("mass", scaler=1.0 / mass0)
+    prob.add_constraint("lam1", lower=target, scaler=1.0 / target)
+    dvs, res = prob.solve(maxiter=15, ftol=1e-8, report=False)
+
+    out = ev(dvs)
+    lam_star = float(out["lam1"])
+    assert lam_star >= target * (1 - 1e-5)
+    assert float(out["mass"]) < mass0 * 1.05
