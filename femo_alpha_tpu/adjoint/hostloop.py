@@ -165,6 +165,18 @@ class HostloopPrograms:
             return x, r, z, p, rz64, jnp.sqrt(df_to_f64(df_dot(r, r)))
 
         @jax.jit
+        def res0(params):
+            """Problem-scale reference: residual norm at the BC-consistent
+            zero state (= the load norm for linear problems). Newton/
+            refinement convergence is judged relative to THIS, never to a
+            warm-start residual — a warm start at the solution has a
+            noise-floor residual, and dividing by it turns 'converged'
+            into 'diverged' (and makes every CG target unreachable)."""
+            f = pde.free_mask
+            u = (1.0 - f) * pde.bc_vals
+            return jnp.linalg.norm(pde.residual(u, params))
+
+        @jax.jit
         def true_res(params, u, ops_Ae, M_state, x, b):
             """True residual at x + re-seeded CG state (restart)."""
             mv, M = mv_M(params, u, ops_Ae, M_state)
@@ -190,6 +202,7 @@ class HostloopPrograms:
             return r, jnp.linalg.norm(r)
 
         self._asm = asm
+        self._res0 = res0
         self._start = start
         self._chunk_plain = chunk_plain
         self._chunk_df = chunk_df
@@ -203,16 +216,25 @@ class HostloopPrograms:
 
         return _use_df_vectors(dtype)
 
-    def solve_linear(self, params, u, ops_Ae, M_state, b, label=""):
+    def solve_linear(self, params, u, ops_Ae, M_state, b, label="",
+                     abs_target=0.0):
         """Host-chunked PCG for the constrained system, with true-residual
         restarts: the loop exits on the recurrence residual, verifies
         against b - A x, and re-enters (fresh Krylov space) until the TRUE
-        relative residual meets tol or maxiter is exhausted. Returns
-        (x, iters, true_relres)."""
+        residual meets the target or maxiter is exhausted. Returns
+        (x, iters, true_relres).
+
+        `abs_target` is the caller's ABSOLUTE residual-norm floor (e.g.
+        tol × the outer problem scale). Refinement passes solve tiny-RHS
+        correction systems: without the floor, the relative target
+        tol·||b|| sits below the attainable accuracy and the loop burns
+        the full maxiter×restarts budget for nothing (measured: 25 s/eval
+        at 63k dofs on the tunneled TPU)."""
         bnorm = float(jnp.linalg.norm(b))
-        if bnorm == 0.0:
-            return jnp.zeros_like(b), 0, 0.0
-        target = jnp.asarray(max(self.tol * bnorm, 1e-300), b.dtype)
+        if bnorm == 0.0 or bnorm <= abs_target:
+            return jnp.zeros_like(b), 0, 1.0
+        target = jnp.asarray(max(self.tol * bnorm, abs_target, 1e-300),
+                             b.dtype)
         use_df = self._use_df(b.dtype)
         if use_df:
             from ..solvers.dfloat import df_from_f64, df_to_f64
@@ -222,6 +244,8 @@ class HostloopPrograms:
         z64, rz, rn = self._start(params, u, ops_Ae, M_state, b)
         it = 0
         resnorm = bnorm
+        best = (resnorm, x64)
+        prev_true = None
         for _ in range(self.restarts + 1):
             if use_df:
                 x, r, z, p = (df_from_f64(v)
@@ -240,10 +264,19 @@ class HostloopPrograms:
             r64, z64, rz, rn = self._true_res(params, u, ops_Ae, M_state,
                                               x64, b)
             resnorm = float(rn)
+            if resnorm < best[0]:
+                best = (resnorm, x64)
             if resnorm <= float(target) or it >= self.maxiter:
                 break
-        rel = resnorm / bnorm
-        return x64, it, rel
+            # restarting only helps while the true residual still moves:
+            # at the Krylov attainable-accuracy floor, quit and return the
+            # best iterate (the OUTER refinement loop owns further
+            # progress, against assembly-grade truth)
+            if prev_true is not None and resnorm > 0.5 * prev_true:
+                break
+            prev_true = resnorm
+        resnorm, x64 = best
+        return x64, it, resnorm / bnorm
 
     def forward(self, params, u0, aux):
         """Newton iteration with host-chunked linear solves, continued past
@@ -255,29 +288,40 @@ class HostloopPrograms:
         (u, (ops_Ae, M_state)) with ops linearized at the RETURNED u."""
         pde = self.pde
         u = u0
-        bnorm = prev = None
+        # convergence is judged against the ZERO-state residual norm (the
+        # load scale), NOT the first-pass residual: optimizer iterations
+        # warm-start at (or near) the previous solution, whose residual is
+        # the accuracy floor itself
+        scale = max(float(self._res0(params)), 1e-300)
+        prev = None
+        best = None  # (rel, u, ops_Ae, M_state) — lowest true residual
         k = 0
         total = pde.newton_iters + self.refine_passes
         while True:
             u, r, ops_Ae, M_state = self._asm(params, u, aux)
-            rn = float(jnp.linalg.norm(r))
-            if bnorm is None:
-                bnorm = max(rn, 1e-300)
-            rel = rn / bnorm
-            stalled = prev is not None and rn > 0.5 * prev
-            if k >= pde.newton_iters and (rel <= self.tol or k >= total
-                                          or stalled):
-                if rel > self.warn_rel:
-                    log(f"hostloop forward: assembly-true rel_res "
-                        f"{rel:.2e} after {k} outer passes (tol "
-                        f"{self.tol:.1e}) — check conditioning/"
-                        "preconditioner")
+            rel = float(jnp.linalg.norm(r)) / scale
+            if best is None or rel < best[0]:
+                best = (rel, u, ops_Ae, M_state)
+            # rel <= tol exits even inside the mandated newton_iters:
+            # Newton at a converged state is a no-op that only amplifies
+            # the residual-floor noise (measured: warm-started evals
+            # diverged to rel 1.5e9 before this guard)
+            stalled = prev is not None and rel > 0.5 * prev
+            if rel <= self.tol or k >= total or (k >= pde.newton_iters
+                                                 and stalled):
                 break
-            prev = rn
+            prev = rel
             du, _, _ = self.solve_linear(params, u, ops_Ae, M_state, r,
-                                         label=" fwd")
+                                         label=" fwd",
+                                         abs_target=self.tol * scale)
             u = u - du
             k += 1
+        rel, u, ops_Ae, M_state = best
+        if rel > self.warn_rel:
+            log(f"hostloop forward: assembly-true rel_res "
+                f"{rel:.2e} after {k} outer passes (tol "
+                f"{self.tol:.1e}) — check conditioning/"
+                "preconditioner")
         return u, (ops_Ae, M_state)
 
     def solve_adjoint(self, params, u, ops_Ae, M_state, g):
@@ -293,23 +337,28 @@ class HostloopPrograms:
         bnorm = float(jnp.linalg.norm(b))
         if bnorm == 0.0:
             return jnp.zeros_like(b)
+        abs_target = self.tol * bnorm
         lam, _, _ = self.solve_linear(params, u, ops_Ae, M_state, b,
-                                      label=" adj")
+                                      label=" adj", abs_target=abs_target)
         lam = pde.free_mask * lam
         prev = None
+        best = None  # (rel, lam) — lowest vjp-true residual
         for k in range(self.refine_passes + 1):
             r, rn = self._adj_true_res(params, u, lam, b)
-            rn = float(rn)
-            rel = rn / bnorm
-            stalled = prev is not None and rn > 0.5 * prev
+            rel = float(rn) / bnorm
+            if best is None or rel < best[0]:
+                best = (rel, lam)
+            stalled = prev is not None and rel > 0.5 * prev
             if rel <= self.tol or k == self.refine_passes or stalled:
-                if rel > self.warn_rel:
-                    log(f"hostloop adjoint: vjp-true rel_res {rel:.2e} "
-                        f"after {k} refinement passes (tol {self.tol:.1e})"
-                        " — check conditioning/preconditioner")
                 break
-            prev = rn
+            prev = rel
             dlam, _, _ = self.solve_linear(params, u, ops_Ae, M_state, r,
-                                           label=" adj")
+                                           label=" adj",
+                                           abs_target=abs_target)
             lam = pde.free_mask * (lam + dlam)
+        rel, lam = best
+        if rel > self.warn_rel:
+            log(f"hostloop adjoint: vjp-true rel_res {rel:.2e} "
+                f"after {k} refinement passes (tol {self.tol:.1e})"
+                " — check conditioning/preconditioner")
         return lam
