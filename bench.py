@@ -98,26 +98,41 @@ def _store_baseline(nx, ny, wall):
         pass
 
 
-def run_cpu_subprocess(nx, ny, timeout=1800):
+def _run_child(nx, ny, timeout, extra_env=None):
+    """Run this script in child mode at (nx, ny); returns the child's full
+    result dict or an {'error': ...} dict. A child crash/OOM/hang can never
+    take the parent (and its already-flushed headline) down with it."""
     env = dict(os.environ)
-    env["FEMO_PLATFORM"] = "cpu"
     env["FEMO_BENCH_CHILD"] = "1"
     env["FEMO_BENCH_NX"] = str(nx)
     env["FEMO_BENCH_NY"] = str(ny)
+    env.update(extra_env or {})
     try:
         res = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             capture_output=True, text=True, timeout=timeout, env=env,
         )
+        sys.stderr.write(res.stderr[-4000:])
         for line in res.stdout.strip().splitlines():
             try:
                 d = json.loads(line)
                 if "wall_s" in d:
-                    return d["wall_s"]
+                    return d
             except json.JSONDecodeError:
                 continue
-    except Exception as e:
-        print(f"[bench] cpu baseline failed: {e}", file=sys.stderr)
+        return {"error": "child produced no result line "
+                         f"(rc {res.returncode})"}
+    except subprocess.TimeoutExpired:
+        return {"error": f"child timed out after {timeout}s"}
+    except Exception as e:  # noqa: BLE001
+        return {"error": " ".join(str(e).splitlines())[:300]}
+
+
+def run_cpu_subprocess(nx, ny, timeout=1800):
+    d = _run_child(nx, ny, timeout, extra_env={"FEMO_PLATFORM": "cpu"})
+    if "wall_s" in d:
+        return d["wall_s"]
+    print(f"[bench] cpu baseline failed: {d.get('error')}", file=sys.stderr)
     return None
 
 
@@ -179,7 +194,8 @@ def main():
     out = _bench(NX, NY, repeats=1 if os.environ.get("FEMO_BENCH_CHILD")
                  else 3)
     if os.environ.get("FEMO_BENCH_CHILD"):
-        print(json.dumps({"wall_s": out["wall_s"]}))
+        print(json.dumps({k: v for k, v in out.items()
+                          if isinstance(v, (int, float, str))}), flush=True)
         return
     report(out, NX, NY)
 
@@ -187,26 +203,41 @@ def main():
     cpu_wall = cpu_wall_for(NX, NY, measure_if_missing=on_device)
     vs = (cpu_wall / out["wall_s"]) if cpu_wall else 1.0
 
+    # the solve-quality gate: the north-star bar is 1e-8 (BASELINE.md —
+    # MUMPS-class nodal accuracy); anything above it is a loud FAIL in the
+    # result line, not a buried warning
+    bar = float(os.environ.get("FEMO_BENCH_QUALITY_BAR", "1e-8"))
+    worst = max(out["res_fwd"], out["res_adj"])
     result = {
         "metric": f"rm_shell_fwd_adjoint_{out['n_dofs']}dofs_wall",
         "value": round(out["wall_s"], 4),
         "unit": "s",
         "vs_baseline": round(vs, 3),
+        "compile_s": round(out["compile_s"], 1),
+        "rel_res": float(f"{worst:.2e}"),
+        "quality": "OK" if worst <= bar else "FAIL",
+        "assembly_mdof_s": round(out.get("assembly_mdof_s", 0.0), 2),
+        "workload": "warm-start optimizer-iteration (median of 3)",
     }
+    # FLUSH the headline line NOW: a scale-point timeout/OOM/hang must never
+    # cost the round its metric (round 3: rc 124 at the scale point ->
+    # parsed null, the 63k result was computed and then lost). The driver
+    # takes the last parseable line, so the enriched re-print below
+    # supersedes this one when the scale point survives.
+    print(json.dumps(result), flush=True)
 
     if on_device and not os.environ.get("FEMO_BENCH_SKIP_SCALE"):
-        # a failed scale point (OOM, tunnel fault, ...) must never cost the
-        # driver the headline result line: report the error and exit 0
-        try:
-            sc = _bench(SCALE_NX, SCALE_NY, repeats=1)
-        except Exception as e:  # noqa: BLE001
-            msg = " ".join(str(e).splitlines())[:300]
+        # the scale point runs in a BUDGETED SUBPROCESS: rc-124-style driver
+        # timeouts and compile-helper OOM kills stay contained in the child
+        budget = int(os.environ.get("FEMO_BENCH_SCALE_BUDGET_S", "1500"))
+        sc = _run_child(SCALE_NX, SCALE_NY, timeout=budget)
+        if "wall_s" not in sc:
+            msg = sc.get("error", "unknown")
             print(f"[bench] scale point {SCALE_NX}x{SCALE_NY} failed: "
                   f"{msg}", file=sys.stderr)
             result["scale_point"] = {"error": msg}
-            print(json.dumps(result))
+            print(json.dumps(result), flush=True)
             return
-        report(sc, SCALE_NX, SCALE_NY)
         # never burn driver time measuring a multi-minute CPU 1M point live:
         # only a stored baseline is used for the scale speedup
         sc_cpu = cpu_wall_for(SCALE_NX, SCALE_NY, measure_if_missing=False)
@@ -214,7 +245,7 @@ def main():
             "n_dofs": sc["n_dofs"],
             "wall_s": round(sc["wall_s"], 4),
             "compile_s": round(sc["compile_s"], 1),
-            "rel_res": float(f"{sc['res_fwd']:.2e}"),
+            "rel_res": float(f"{max(sc['res_fwd'], sc['res_adj']):.2e}"),
             "assembly_mdof_s": round(sc.get("assembly_mdof_s", 0.0), 1),
             "vs_baseline": (round(sc_cpu / sc["wall_s"], 3)
                             if sc_cpu else None),
@@ -229,7 +260,7 @@ def main():
                 result["scale_point"]["vs_baseline_at_least"] = round(
                     lb / sc["wall_s"], 3)
 
-    print(json.dumps(result))
+        print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":
