@@ -599,24 +599,41 @@ class LibraryBench:
         op = self.model.fea.states["disp_solid"].pde
         params = {"thickness": th, "E": self.E, "nu": self.nu,
                   "uhat": jnp.zeros_like(self.f), "F_solid": self.f}
+        emf = op.element_matrices_fn
+        basis = (emf.prepare(params)
+                 if emf is not None and hasattr(emf, "prepare") else None)
+        u0 = jnp.zeros(op.n_dofs)
+
+        from .utils.quality import device_f64_eps, make_abs_matvec
+
+        amv = make_abs_matvec(op)
 
         @jax.jit
-        def _rel(u, params):
-            rn = jnp.linalg.norm(op.residual(u, params))
-            r0 = jnp.linalg.norm(op.residual(jnp.zeros(op.n_dofs), params))
-            return rn / r0
+        def _rel(u, th_, basis_):
+            p = dict(params)
+            p["thickness"] = th_
+            rn = jnp.linalg.norm(op.residual(u, p))
+            r0 = jnp.linalg.norm(op.residual(u0, p))
+            # residual-MEASUREMENT floor scale |||A||u|+|b||| / ||b||: the
+            # relative residual saturates at ~eps_dev times this value for
+            # ANY backward-stable solver (incl. the reference's MUMPS) —
+            # utils/quality.py, tools/floor_experiment.py
+            ops = op._assemble_ops(u0, p, emf_basis=basis_)
+            fl = jnp.linalg.norm(amv(ops, u)) + r0
+            return rn / r0, fl / r0
 
-        rel = float(_rel(out["u"], params))
+        rel_, floor_ = _rel(out["u"], th, basis)
+        rel = float(rel_)
+        res_floor = device_f64_eps() * float(floor_)
         tip = float(jnp.max(jnp.abs(out["u"])))
+        # the converged state at the nominal design, for external
+        # cross-checks (bench.py's host-SuperLU nodal comparison)
+        self.last_u = np.asarray(out["u"], dtype=np.float64)
         # assembly throughput: the per-design-iteration element re-assembly
         # (affine AXPY combine when available, else full element_matrices) —
         # the BASELINE.md "assembly MDOF/s" metric. Basis passed as a runtime
         # arg (embedding it as a jit constant would be constant-folded per
         # compile; see commit 6cd00a4).
-        emf = op.element_matrices_fn
-        basis = (emf.prepare(params)
-                 if emf is not None and hasattr(emf, "prepare") else None)
-        u0 = jnp.zeros(op.n_dofs)
 
         @jax.jit
         def _asm(th_, basis_):
@@ -634,6 +651,7 @@ class LibraryBench:
             n_dofs=int(self.n_dofs),
             iters_fwd=-1, iters_adj=-1,
             res_fwd=rel, res_adj=rel,
+            res_floor=float(res_floor),
             tip=tip,
             J=float(out["J"]),
             grad_norm=float(jnp.linalg.norm(out["grad"])),

@@ -171,7 +171,14 @@ class RMShellModel:
                     from .mg import build_shell_mg, ShellMGPrecond
 
                     on_tpu = _jax.default_backend() == "tpu"
-                    sdt = jnp.float32 if on_tpu else None
+                    # FEMO_MG_F32=0/1 overrides the f32-hierarchy default
+                    # (1 on CPU reproduces the TPU solver configuration for
+                    # tests: f32 V-cycle + df-CG vectors via FEMO_CG_DF=1)
+                    import os as _os0
+
+                    _mgf = _os0.environ.get("FEMO_MG_F32")
+                    use_f32 = (_mgf == "1") if _mgf is not None else on_tpu
+                    sdt = jnp.float32 if use_f32 else None
                     # lane-major (nd, nd, nc) element layout on TPU: pad-free
                     # lanes + the Pallas cell-matvec kernel for every solve-
                     # phase matvec and smoother hit (cell-major pads 39 ->
