@@ -50,15 +50,20 @@ _LAST_BENCH = None
 
 def _bench(nx, ny, repeats):
     global _LAST_BENCH
+    import time
+
     import jax
 
     import femo_alpha_tpu  # noqa: F401
     from femo_alpha_tpu.benchmarks import LibraryBench, ShellBench
 
+    t0 = time.perf_counter()
     if PIPELINE == "library":
         b = LibraryBench(nx=nx, ny=ny, penalty=(BC == "penalty"))
     else:
         b = ShellBench(nx=nx, ny=ny)
+    print(f"[bench] model+pipeline build: {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr, flush=True)
     out = b.timed_run(repeats=repeats)
     out["backend"] = jax.default_backend()
     _LAST_BENCH = b
@@ -215,7 +220,9 @@ def report(out, nx, ny):
         f"[bench] {out['backend']} {nx}x{ny} ({out['n_dofs']} dofs): "
         f"wall {out['wall_s']:.3f}s compile {out['compile_s']:.1f}s "
         f"rel_res fwd/adj {out['res_fwd']:.2e}/{out['res_adj']:.2e} "
-        f"tip {out['tip']:.6e} J {out['J']:.6e}"
+        + (f"iters fwd/adj {out['iters_fwd']}/{out['iters_adj']} "
+           if out.get("iters_fwd", -1) >= 0 else "")
+        + f"tip {out['tip']:.6e} J {out['J']:.6e}"
         + (f" assembly {1e3 * out['assembly_s']:.1f}ms "
            f"({out['assembly_mdof_s']:.1f} MDOF/s)"
            if "assembly_s" in out else ""),

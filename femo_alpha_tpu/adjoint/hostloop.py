@@ -127,6 +127,33 @@ class HostloopPrograms:
         from ..utils.quality import device_f64_eps
 
         self.eps_dev = device_f64_eps()
+        # AFFINE-LINEAR FAST PATH: when the PDE is linear (one mandated
+        # Newton step), its operator comes from an affine design
+        # decomposition (element_matrices_fn with host-side prepare), and
+        # there are no facet/extra terms, the residual is EXACTLY
+        # r(u) = mv(u) - c0 with c0 from ONE host-CPU f64 assembly at the
+        # BC-consistent zero state. Then NO program containing a per-cell
+        # energy kernel ever compiles on the device — the dominant cost of
+        # the tunneled-TPU path (each kernel-bearing program remote-compiles
+        # in ~30-150 s; utils/offload.py header). The design-gradient vjp
+        # runs on the host CPU backend too (measured 126 ms at 63k dofs on
+        # the 1-core build host vs a ~150 s remote compile). Reference
+        # lifecycle analogue: FFCx compiles forms ONCE on the host; the
+        # device only ever executes assembled operators
+        # (state_operation.py:260-296).
+        fn = pde.element_matrices_fn
+        self.affine = bool(
+            pde.newton_iters == 1
+            and pde.extra_residual is None
+            and fn is not None and hasattr(fn, "prepare")
+        )
+        if os.environ.get("FEMO_HOSTLOOP_AFFINE") is not None:
+            self.affine = (self.affine
+                           and os.environ["FEMO_HOSTLOOP_AFFINE"] == "1")
+        # telemetry of the most recent forward/adjoint (CG iterations,
+        # refinement passes, final true rel_res) — solver observability,
+        # read by benchmarks and tests
+        self.last_stats = {}
         self._build_programs()
 
     # ---------------------------------------------------------- programs
@@ -139,11 +166,12 @@ class HostloopPrograms:
 
         @jax.jit
         def asm(params, u0, aux):
-            emf_basis, pc_aux = aux
+            emf_basis, pc_aux, fops = aux
             f = pde.free_mask
             u = f * u0 + (1.0 - f) * pde.bc_vals
             r = pde.residual(u, params)
-            ops_Ae = pde._assemble_ops(u, params, emf_basis=emf_basis)
+            ops_Ae = pde._assemble_ops(u, params, emf_basis=emf_basis,
+                                       facet_ops=fops)
             M_state = (pde._pc.setup_state(u, params, ops_Ae, pc_aux)
                        if pde._pc is not None else None)
             return u, r, ops_Ae, M_state
@@ -245,7 +273,43 @@ class HostloopPrograms:
             norm measurement floor (utils/quality.py docstring)."""
             return jnp.linalg.norm(_abs_mv(ops_Ae, x)) + bnorm
 
+        # ------------------------- affine fast-path programs (kernel-free)
+        @jax.jit
+        def asm_affine(params, u0, aux):
+            """Like `asm` but WITHOUT the residual assembly: the affine
+            combine + preconditioner setup only (pure tensor algebra;
+            facet blocks arrive host-precomputed in aux)."""
+            emf_basis, pc_aux, fops = aux
+            f = pde.free_mask
+            u = f * u0 + (1.0 - f) * pde.bc_vals
+            ops_Ae = pde._assemble_ops(u, params, emf_basis=emf_basis,
+                                       facet_ops=fops)
+            M_state = (pde._setup_pc_state(u, params, ops_Ae, pc_aux)
+                       if pde._pc is not None else None)
+            return u, ops_Ae, M_state
+
+        def res_host(params, u):
+            """Constrained residual + its norm — run on the HOST CPU
+            backend in NATIVE f64 (unit roundoff 2^-53 vs the device's
+            float-float 2^-48): the refinement ground truth of the affine
+            path. Measured 33 ms/call at 63k dofs on the 1-core host."""
+            r = pde.residual(u, params)
+            return r, jnp.linalg.norm(r)
+
+        def adj_res_host(params, u, lam, b):
+            """Adjoint truth b - f*(dR/du)^T(f*lam) on the host (f64)."""
+            f = pde.free_mask
+            _, vjp_fn = jax.vjp(lambda v: pde.residual(v, params), u)
+            (Atlam,) = vjp_fn(f * lam)
+            r = b - f * Atlam
+            return r, jnp.linalg.norm(r)
+
+        self._res_host_jit = jax.jit(res_host)
+        self._adjres_host_jit = jax.jit(adj_res_host)
+        self._vjp_host_jit = jax.jit(vjp_params)
+
         self._asm = _traced("asm", asm)
+        self._asm_affine = _traced("asm_affine", asm_affine)
         self._res0 = _traced("res0", res0)
         self._start = _traced("start", start)
         self._chunk_plain = _traced("chunk", chunk_plain)
@@ -253,13 +317,38 @@ class HostloopPrograms:
         self._true_res = _traced("true_res", true_res)
         self._adj_true_res = _traced("adj_true_res", adj_true_res)
         self._floor_scale = _traced("floor_scale", floor_scale)
-        self.vjp_params = _traced("vjp_params", vjp_params)
+        self._vjp_device = _traced("vjp_params", vjp_params)
 
     # ------------------------------------------------------ host solves
     def _use_df(self, dtype):
         from ..solvers.linear import _use_df_vectors
 
         return _use_df_vectors(dtype)
+
+    def vjp_params(self, params, u, lam):
+        """-(dR/dparams)^T lam. Affine path: evaluated on the host CPU
+        backend (native f64, compiles in seconds, ~0.1-0.2 s/call at 63k
+        dofs) — the only place the per-cell kernel runs at all on that
+        path. Generic path: the device program."""
+        if self.affine:
+            from ..utils.offload import run_setup
+
+            return run_setup(self._vjp_host_jit, params, u, lam)
+        return self._vjp_device(params, u, lam)
+
+    def _host_res(self, params, u_np):
+        """Host-CPU f64 constrained residual at `u_np` (numpy). Returns
+        (r on the default device, norm float)."""
+        from ..utils.offload import run_setup
+
+        r, rn = run_setup(self._res_host_jit, params, u_np)
+        return r, float(rn)
+
+    def _host_adj_res(self, params, u_np, lam_np, b_np):
+        from ..utils.offload import run_setup
+
+        r, rn = run_setup(self._adjres_host_jit, params, u_np, lam_np, b_np)
+        return r, float(rn)
 
     def solve_linear(self, params, u, ops_Ae, M_state, b, label="",
                      abs_target=0.0):
@@ -340,6 +429,12 @@ class HostloopPrograms:
         is cancellation noise — a direct solver measures the same value,
         tools/floor_experiment.py), or stalls. Returns
         (u, (ops_Ae, M_state)) with ops linearized at the RETURNED u."""
+        if self.affine and (not self.pde.facet_forms
+                            or aux[2] is not None):
+            # (facet-form PDEs need the host-precomputed facet blocks in
+            # aux; when a facet-relevant parameter is traced the generic
+            # path below assembles them in-program instead)
+            return self._forward_affine(params, u0, aux)
         pde = self.pde
         u = u0
         # convergence is judged against the ZERO-state residual norm (the
@@ -382,6 +477,74 @@ class HostloopPrograms:
                 "preconditioner")
         return u, (ops_Ae, M_state)
 
+    def _forward_affine(self, params, u0, aux):
+        """Linear forward with the kernel-free device program set and
+        HOST-f64 truth: the authoritative solution accumulates on the host
+        in native f64 (the device's float-float f64, ~2^-48, is what
+        capped the round-3 nodal accuracy at 5.8e-8 vs the 1e-8 bar —
+        BENCH r4a crosscheck); each refinement pass evaluates the
+        assembly-true residual on the host CPU backend (33 ms at 63k) and
+        solves only the SMALL correction on the device, whose float-float
+        representation error then scales with the correction, not the
+        solution. This is MUMPS-style mixed-precision iterative refinement
+        with the roles TPU-native: device = fast low-precision solver,
+        host = f64 residual oracle."""
+        import numpy as np
+
+        pde = self.pde
+        f = pde.free_mask
+        if not hasattr(self, "_f_np"):
+            self._f_np = np.asarray(f, dtype=np.float64)
+            self._bc_np = np.asarray(pde.bc_vals, dtype=np.float64)
+            self._uz_np = (1.0 - self._f_np) * self._bc_np
+        u, ops_Ae, M_state = self._asm_affine(params, u0, aux)
+        u_np = np.asarray(u, dtype=np.float64)
+        # problem scale: host-f64 residual at the BC-consistent zero state
+        _, rz = self._host_res(params, self._uz_np)
+        scale = max(rz, 1e-300)
+        prev = None
+        best = None
+        k = 0
+        iters = 0
+        total = 1 + self.refine_passes
+        while True:
+            r, rn = self._host_res(params, u_np)
+            rel = rn / scale
+            if best is None or rel < best[0]:
+                best = (rel, k, u_np)
+            # device/host measurement floors share the |A||u|+|b| scale;
+            # recomputed at the CURRENT iterate (at the cold-start zero
+            # state the scale degenerates to ||b|| and the floors are
+            # vacuously small, so the first solve proceeds)
+            fsc = float(self._floor_scale(ops_Ae, u, jnp.asarray(scale)))
+            dev_floor = self.floor_c * self.eps_dev * fsc
+            host_floor = self.floor_c * 2.0 ** -52 * fsc
+            stalled = prev is not None and rel > 0.5 * prev
+            if (rn <= max(self.tol * scale, host_floor) or k >= total
+                    or (k >= 1 and stalled)):
+                break
+            prev = rel
+            # first solve can only reach the DEVICE floor; correction
+            # solves on small RHS reach the (absolute) host floor easily
+            tgt = 0.5 * (dev_floor if k == 0 else host_floor)
+            du, it_, _ = self.solve_linear(
+                params, u, ops_Ae, M_state, r, label=" fwd",
+                abs_target=max(self.tol * scale, tgt))
+            iters += it_
+            u_np = u_np - np.asarray(du, dtype=np.float64)
+            u_np = self._f_np * u_np + self._uz_np
+            u = jnp.asarray(u_np)
+            k += 1
+        rel, kb, u_np = best
+        u = jnp.asarray(u_np)
+        self.last_stats.update(fwd_iters=iters, fwd_passes=k, fwd_rel=rel)
+        if rel > self.warn_rel and rel * scale > 2.0 * host_floor:
+            log(f"hostloop forward: host-f64-true rel_res {rel:.2e} at "
+                f"pass {kb} (tol {self.tol:.1e}, floor "
+                f"{host_floor / scale:.1e}) — check conditioning/"
+                "preconditioner")
+        return u, (ops_Ae, M_state)
+
     def solve_adjoint(self, params, u, ops_Ae, M_state, g):
         """A^T lam = f*g with zero rows at BC dofs; the masked operator is
         symmetric for the energy-Hessian systems this path serves, so the
@@ -395,6 +558,9 @@ class HostloopPrograms:
         bnorm = float(jnp.linalg.norm(b))
         if bnorm == 0.0:
             return jnp.zeros_like(b)
+        if self.affine:
+            return self._adjoint_affine(params, u, ops_Ae, M_state, b,
+                                        bnorm)
         abs_target = self.tol * bnorm
         lam, _, _ = self.solve_linear(params, u, ops_Ae, M_state, b,
                                       label=" adj", abs_target=abs_target)
@@ -427,3 +593,49 @@ class HostloopPrograms:
                 f"{floor_abs / bnorm:.1e}) — check conditioning/"
                 "preconditioner")
         return lam
+
+    def _adjoint_affine(self, params, u, ops_Ae, M_state, b, bnorm):
+        """Adjoint twin of `_forward_affine`: host-f64 vjp truth, host-f64
+        accumulation of lam, device correction solves (A symmetric)."""
+        import numpy as np
+
+        pde = self.pde
+        if not hasattr(self, "_f_np"):
+            self._f_np = np.asarray(pde.free_mask, dtype=np.float64)
+            self._bc_np = np.asarray(pde.bc_vals, dtype=np.float64)
+            self._uz_np = (1.0 - self._f_np) * self._bc_np
+        fh = self._f_np
+        u_np = np.asarray(u, dtype=np.float64)
+        b_np = np.asarray(b, dtype=np.float64)
+        lam, iters, _ = self.solve_linear(params, u, ops_Ae, M_state, b,
+                                          label=" adj",
+                                          abs_target=self.tol * bnorm)
+        lam = pde.free_mask * lam
+        lam_np = np.asarray(lam, dtype=np.float64)
+        fsc = float(self._floor_scale(ops_Ae, lam, jnp.asarray(bnorm)))
+        host_floor = self.floor_c * 2.0 ** -52 * fsc
+        prev = None
+        best = None
+        for k in range(self.refine_passes + 1):
+            r, rn = self._host_adj_res(params, u_np, lam_np, b_np)
+            rel = rn / bnorm
+            if best is None or rel < best[0]:
+                best = (rel, k, lam_np)
+            stalled = prev is not None and rel > 0.5 * prev
+            if (rn <= max(self.tol * bnorm, host_floor)
+                    or k == self.refine_passes or stalled):
+                break
+            prev = rel
+            dlam, it_, _ = self.solve_linear(
+                params, u, ops_Ae, M_state, r, label=" adj",
+                abs_target=max(self.tol * bnorm, 0.5 * host_floor))
+            iters += it_
+            lam_np = fh * (lam_np + np.asarray(dlam, dtype=np.float64))
+        rel, kb, lam_np = best
+        self.last_stats.update(adj_iters=iters, adj_passes=k, adj_rel=rel)
+        if rel > self.warn_rel and rel * bnorm > 2.0 * host_floor:
+            log(f"hostloop adjoint: host-f64-true rel_res {rel:.2e} at "
+                f"pass {kb} (tol {self.tol:.1e}, floor "
+                f"{host_floor / bnorm:.1e}) — check conditioning/"
+                "preconditioner")
+        return jnp.asarray(lam_np)

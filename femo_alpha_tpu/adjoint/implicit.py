@@ -134,12 +134,15 @@ class ImplicitPDE:
             r = r + self.extra_residual(u, params)
         return constrain_residual(r, u, self.free_mask, self.bc_vals)
 
-    def _assemble_ops(self, u, params, emf_basis=None):
+    def _assemble_ops(self, u, params, emf_basis=None, facet_ops=None):
         """Element-matrix blocks in the static `_op_specs` layout. ops[0]
         is emitted in solver_opts['op0_layout'] ('cells' default; 'lane' =
         the pad-free (nd, nd, nc) TPU layout — an element_matrices_fn with
         a matching out_layout emits it directly, the generic assembly gets
-        one relayout pass)."""
+        one relayout pass). facet_ops: host-precomputed facet Jacobian
+        blocks (see `_prepare_facet_ops`) — passed as runtime arguments so
+        the facet jacfwd kernels never enter device programs for linear
+        problems."""
         if self.element_matrices_fn is not None:
             try:
                 Ae0 = self.element_matrices_fn(u, params, basis=emf_basis)
@@ -150,8 +153,11 @@ class ImplicitPDE:
             if self.solver_opts.get("op0_layout") == "lane":
                 Ae0 = jnp.moveaxis(Ae0, 0, -1)
         ops_Ae = [Ae0]
-        for ff in self.facet_forms:
-            ops_Ae.extend(Ae for Ae, _ in ff.element_ops(u, params))
+        if facet_ops is not None:
+            ops_Ae.extend(facet_ops)
+        else:
+            for ff in self.facet_forms:
+                ops_Ae.extend(Ae for Ae, _ in ff.element_ops(u, params))
         if getattr(self, "shard_spec", None) is not None:
             # multi-chip product path (parallel/product.py): split the fine
             # operator block over the cell axis; XLA's SPMD partitioner then
@@ -227,13 +233,14 @@ class ImplicitPDE:
     # -------------------------------------------------- staged pieces
     def _newton_state(self, params, u0, aux):
         """Fixed-iteration Newton returning (u, linearization state)."""
-        emf_basis, pc_aux = aux
+        emf_basis, pc_aux, fops = aux
         f = self.free_mask
         u = f * u0 + (1.0 - f) * self.bc_vals
         ops_Ae, M_state = None, None
         for _ in range(self.newton_iters):
             r = self.residual(u, params)
-            ops_Ae = self._assemble_ops(u, params, emf_basis=emf_basis)
+            ops_Ae = self._assemble_ops(u, params, emf_basis=emf_basis,
+                                        facet_ops=fops)
             M_state = self._setup_pc_state(u, params, ops_Ae, pc_aux)
             solver = self._solver_from(ops_Ae, M_state, u, params)
             du = solver.solve(r)
@@ -245,7 +252,8 @@ class ImplicitPDE:
             # linearization silently biases nonlinear gradients by
             # O(||u_N - u_{N-1}||). (Linear problems have state-independent
             # ops; skip the extra assembly.)
-            ops_Ae = self._assemble_ops(u, params, emf_basis=emf_basis)
+            ops_Ae = self._assemble_ops(u, params, emf_basis=emf_basis,
+                                        facet_ops=fops)
             M_state = self._setup_pc_state(u, params, ops_Ae, pc_aux)
         return u, (ops_Ae, M_state)
 
@@ -257,6 +265,49 @@ class ImplicitPDE:
         (gp,) = vjp_fn(lam)
         return jax.tree.map(lambda a: -a, gp)
 
+    def _prepare_facet_ops(self, params):
+        """Host-precomputed facet Jacobian blocks, content-hash cached over
+        the facet-relevant parameters (penalty blocks depend on uhat/
+        geometry only). Linear problems only (newton_iters == 1: the facet
+        Jacobian is state-independent); returns None — callers assemble in
+        program — when a relevant parameter is traced (e.g. differentiating
+        uhat) or the problem is nonlinear."""
+        if not self.facet_forms or self.newton_iters != 1:
+            return None
+        import hashlib
+
+        import jax.core
+        import numpy as np
+
+        rel = {}
+        for ff in self.facet_forms:
+            for k in ff.param_specs:
+                rel[k] = params[k]
+        if any(isinstance(v, jax.core.Tracer) for v in rel.values()):
+            return None
+        h = hashlib.sha1()
+        for k in sorted(rel):
+            h.update(k.encode())
+            h.update(np.asarray(rel[k]).tobytes())
+        ck = h.hexdigest()
+        cached = getattr(self, "_fops_cache", None)
+        if cached is not None and cached[0] == ck:
+            return cached[1]
+        from ..utils.offload import run_setup
+
+        u0 = np.zeros(self.n_dofs)
+
+        def build(u0_, p_):
+            out = []
+            for ff in self.facet_forms:
+                out.extend(Ae for Ae, _ in ff.element_ops(u0_, p_))
+            return tuple(out)
+
+        fops = run_setup(jax.jit(build), u0,
+                         {k: np.asarray(v) for k, v in rel.items()})
+        self._fops_cache = (ck, fops)
+        return fops
+
     def _prepare_aux(self, params):
         emb = None
         fn = self.element_matrices_fn
@@ -265,7 +316,7 @@ class ImplicitPDE:
         pca = ()
         if self._pc is not None:
             pca = self._pc.prepare(params)
-        aux = (emb, pca)
+        aux = (emb, pca, self._prepare_facet_ops(params))
         if getattr(self, "shard_spec", None) is not None:
             from ..parallel.product import shard_aux
 

@@ -48,6 +48,43 @@ def _jit_nofold(fn):
     return call
 
 
+def _affine_combine(B, theta, powers, layout):
+    """Ae(theta) = sum_k theta^p_k * B[k] — plain-array or float-float
+    (DF) basis; DF runs the elementwise pass in native-f32 float-float
+    arithmetic and emits f64 (see AffineDesignOperator storage='df')."""
+    from ..solvers.dfloat import DF
+
+    powers = tuple(int(p) for p in powers)
+    if isinstance(B, DF):
+        from ..solvers.dfloat import df_add, df_from_f64, df_mul, df_to_f64
+
+        th64 = jnp.asarray(theta).astype(jnp.float64)
+        out = None
+        for k, p in enumerate(powers):
+            c = df_from_f64(th64 ** p)  # (nc,) pair
+            if layout == "lane":
+                cb = DF(c.hi[None, None, :], c.lo[None, None, :])
+            else:
+                cb = DF(c.hi[:, None, None], c.lo[:, None, None])
+            term = df_mul(DF(B.hi[k], B.lo[k]), cb)
+            out = term if out is None else df_add(out, term)
+        return df_to_f64(out)
+    th = jnp.asarray(theta).astype(B.dtype)
+    # explicit unrolled sum, NOT an einsum/dot_general: contracting the
+    # K axis via dot_general makes XLA's f64-on-TPU emulation materialize
+    # multi-GB padded pair-of-f32 temporaries (OOM at 1M dofs); K is 2-3,
+    # so the elementwise form fuses into one pass
+    if layout == "lane":
+        out = (th ** powers[0])[None, None, :] * B[0]
+        for k in range(1, len(powers)):
+            out = out + (th ** powers[k])[None, None, :] * B[k]
+        return out
+    out = (th ** powers[0])[:, None, None] * B[0]
+    for k in range(1, len(powers)):
+        out = out + (th ** powers[k])[:, None, None] * B[k]
+    return out
+
+
 class AffineDesignOperator:
     """Element matrices affine in powers of a scalar per-cell design field.
 
@@ -70,10 +107,19 @@ class AffineDesignOperator:
     """
 
     def __init__(self, form, u0, params_of, key="thickness", powers=(1, 3),
-                 probe_scale=1.0, chunk=8192, dtype=None, layout="cells"):
+                 probe_scale=1.0, chunk=8192, dtype=None, layout="cells",
+                 storage=None):
         self.form = form
         self.key = key
         self.layout = layout
+        # storage='df': keep the basis as a float-float PAIR of f32 arrays
+        # (solvers/dfloat.py) and run the combine in native-f32 float-float
+        # arithmetic, emitting f64. On TPU this loses NOTHING (the device
+        # stores f64 as a float-float pair, ~2^-48, anyway) and replaces
+        # XLA's emulated-f64 elementwise pass — measured 3.5 GB/s vs the
+        # handwritten DF ops' 58 GB/s (tools/df_microbench.py) — making the
+        # per-design-iteration re-assembly bandwidth-bound.
+        self.storage = storage
         self.powers = tuple(int(p) for p in powers)
         K = len(self.powers)
         nc = form.space.mesh.n_cells
@@ -104,20 +150,33 @@ class AffineDesignOperator:
                     Mk = jnp.moveaxis(Mk, 0, -1)  # (nd, nd, nc), pad-free
                 basis.append(Mk.astype(dtype) if dtype is not None else Mk)
             # stacked: one fused elementwise pass in element_matrices()
-            return jnp.stack(basis)
+            out = jnp.stack(basis)
+            if storage == "df":
+                hi = out.astype(jnp.float32)
+                lo = (out - hi.astype(out.dtype)).astype(jnp.float32)
+                return hi, lo
+            return out
 
         # constant_folding disabled: the jacfwd tangent graph over the
         # embedded cell geometry is largely input-independent, and XLA's
         # single-threaded HLO fold evaluator re-derives most of the
         # assembly at compile time (~2-5x the compile cost for zero
         # runtime benefit on a program run a handful of times)
-        self.basis = run_setup(
-            _jit_nofold(build_basis), u0, probe_params)
+        built = run_setup(_jit_nofold(build_basis), u0, probe_params)
+        if storage == "df":
+            from ..solvers.dfloat import DF
+
+            built = DF(*built)
+        self.basis = built
         self.nc = nc
 
     def astype(self, dtype):
         """A view of this operator with the basis cast to `dtype` (e.g. an
         f32 copy feeding a preconditioner hierarchy)."""
+        from ..solvers.dfloat import DF
+
+        if isinstance(self.basis, DF):
+            raise TypeError("astype is not supported for storage='df'")
         out = object.__new__(AffineDesignOperator)
         out.form, out.key, out.powers = self.form, self.key, self.powers
         out.layout = self.layout
@@ -141,20 +200,7 @@ class AffineDesignOperator:
         closing over `self.basis` embeds ~100MB constants into the compiled
         program (XLA then constant-folds over them at compile time)."""
         B = self.basis if basis is None else basis
-        th = jnp.asarray(theta).astype(B.dtype)
-        # explicit unrolled sum, NOT an einsum/dot_general: contracting the
-        # K axis via dot_general makes XLA's f64-on-TPU emulation
-        # materialize multi-GB padded pair-of-f32 temporaries (OOM at 1M
-        # dofs); K is 2-3, so the elementwise form fuses into one pass
-        if self.layout == "lane":
-            out = (th ** self.powers[0])[None, None, :] * B[0]
-            for k in range(1, len(self.powers)):
-                out = out + (th ** self.powers[k])[None, None, :] * B[k]
-            return out
-        out = (th ** self.powers[0])[:, None, None] * B[0]
-        for k in range(1, len(self.powers)):
-            out = out + (th ** self.powers[k])[:, None, None] * B[k]
-        return out
+        return _affine_combine(B, theta, self.powers, self.layout)
 
     def matvec(self, theta, space, x):
         """A(theta) @ x without materializing Ae (K cell-matvec passes)."""
@@ -217,7 +263,10 @@ class AffineDesignOperator:
         # bases feed preconditioner hierarchies on TPU) and the device's
         # f64 representation (the tunneled TPU stores f64 as a float-float
         # pair, ~2^-48)
-        eps = float(jnp.finfo(self.basis.dtype).eps)
+        from ..solvers.dfloat import DF
+
+        eps = (2.0 ** -48 if isinstance(self.basis, DF)
+               else float(jnp.finfo(self.basis.dtype).eps))
         rtol = max(rtol, 100.0 * eps, 100.0 * 2.0 ** -48)
         if err > rtol * max(scale, 1e-300):
             raise ValueError(
@@ -250,9 +299,13 @@ class CachedAffineAssembler:
 
     def __init__(self, form, key="thickness", powers=(1, 3),
                  probe_scale=None, chunk=8192, dtype=None, layout="cells",
-                 out_layout=None, verify=True, ignore_keys=("F_solid",)):
+                 out_layout=None, verify=True, ignore_keys=("F_solid",),
+                 storage=None):
         self.form = form
         self.key = key
+        # storage='df': float-float basis pair + native-f32 combine (see
+        # AffineDesignOperator) — the TPU fast path for f64 operators
+        self.storage = storage
         # out_layout: layout of the element matrices this assembler RETURNS
         # ('cells' (nc, nd, nd) — default — or 'lane' (nd, nd, nc), the
         # pad-free TPU layout consumed by make_matvec_T / GeometricMG
@@ -322,27 +375,20 @@ class CachedAffineAssembler:
             self._aff = AffineDesignOperator(
                 self.form, u0, params_of, key=self.key, powers=self.powers,
                 probe_scale=ps, chunk=self.chunk, dtype=self.dtype,
-                layout=self.layout)
+                layout=self.layout, storage=self.storage)
             if self.verify and self._is_concrete(theta):
                 self._aff.verify(theta, u0, params_of)
             self._cache_key = ck
         return self._aff.basis
 
     def combine(self, theta, basis):
-        """Traceable affine combine with an explicit basis; returns element
-        matrices in `out_layout` ('cells' (nc, nd, nd) or 'lane'
-        (nd, nd, nc))."""
-        th = jnp.asarray(theta).astype(basis.dtype)
-        powers = tuple(int(p) for p in self.powers)
+        """Traceable affine combine with an explicit basis (plain f64 or
+        float-float DF pair); returns element matrices in `out_layout`
+        ('cells' (nc, nd, nd) or 'lane' (nd, nd, nc))."""
+        out = _affine_combine(basis, theta, self.powers, self.layout)
         if self.layout == "lane":
-            out = (th ** powers[0])[None, None, :] * basis[0]
-            for k in range(1, len(powers)):
-                out = out + (th ** powers[k])[None, None, :] * basis[k]
             return out if self.out_layout == "lane" else jnp.moveaxis(
                 out, -1, 0)
-        out = (th ** powers[0])[:, None, None] * basis[0]
-        for k in range(1, len(powers)):
-            out = out + (th ** powers[k])[:, None, None] * basis[k]
         return out if self.out_layout == "cells" else jnp.moveaxis(out, 0, -1)
 
     def __call__(self, u, params, basis=None):

@@ -144,7 +144,8 @@ class FemForm:
             per_chunk = jax.checkpoint(per_chunk)
         mapped_p = {n: pc_k[n] for n in pc_k if axes[n] == 0}
         out = jax.lax.map(per_chunk, (uc_k, xc_k, mapped_p))
-        return out.reshape((nc,) + out.shape[2:])
+        return jax.tree.map(
+            lambda a: a.reshape((nc,) + a.shape[2:]), out)
 
     def scalar_names(self):
         return [n for n, sp in self.param_specs.items() if sp is None]

@@ -1,0 +1,231 @@
+"""Quadratic-functional decomposition for output forms.
+
+Scalar outputs like the shell compliance (∫|u|² J(uhat) dx + reg(θ)),
+mass (∫ρ h J dx) and volume (∫h J dx) are JOINTLY QUADRATIC in the fields
+an optimizer differentiates (state u, design θ, density ρ) once the
+geometry field (uhat) is frozen. Their per-cell Taylor expansion at zero
+
+    f_c(z) = k0_c + g_c·z + ½ z^T H_c z,   z = [u_c; θ_c; ρ_c; ...]
+
+is therefore EXACT, and the coefficients depend only on frozen parameters
+— so they are precomputed ONCE on the host CPU backend (like the affine
+operator bases, assembly/affine.py) and the device-side evaluation is a
+gather + two small contractions: kernel-free, differentiable by JAX AD of
+a polynomial, and compiling in seconds where the kernel form needs a
+~30-150 s remote compile per program on the tunneled TPU
+(utils/offload.py header).
+
+The decomposition is verified against one direct kernel assembly at a
+deterministic probe point (catching non-quadratic dependence or a wrongly
+frozen field), mirroring AffineDesignOperator.verify.
+
+Reference counterpart: the output functionals the reference assembles per
+iteration through FFCx-compiled kernels (output_operation.py:51-56); FFCx
+also compiles them once on the host — this is the same lifecycle with the
+device work reduced to tensor contractions.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .assemble import assemble_scalar
+from ..utils.offload import run_setup
+
+
+def _is_concrete(x):
+    import jax.core
+
+    return not isinstance(x, jax.core.Tracer)
+
+
+def _jit_nofold(fn):
+    from .affine import _jit_nofold as jn
+
+    return jn(fn)
+
+
+@jax.jit
+def quad_eval(coeffs, zc):
+    """Σ_c k0_c + g_c·z_c + ½ z_c^T H_c z_c for stacked per-cell fields
+    zc (nc, nz). VPU sum-form contractions (no MXU batching of tiny
+    matmuls — see assemble.cell_matvec)."""
+    k0, g, H = coeffs
+    Hz = jnp.sum(H * zc[:, None, :], axis=2)
+    return (jnp.sum(k0) + jnp.sum(g * zc)
+            + 0.5 * jnp.sum(zc * Hz))
+
+
+class QuadraticOutput:
+    """Exact quadratic decomposition of an energy-kind FemForm.
+
+    form: FemForm (kind='energy') whose kernel integrates the PRIMARY
+    field (form.space). varying: names of param fields (must be gathered,
+    i.e. have a space in param_specs) that join the primary field in z —
+    everything the caller may differentiate. All other params are FROZEN
+    into the coefficients and cache-keyed by content hash; a traced frozen
+    parameter makes `prepare` return None (caller falls back to the
+    kernel path — always exact, like CachedAffineAssembler).
+    """
+
+    def __init__(self, form, varying=(), verify=True, chunk=8192):
+        self.form = form
+        self.varying = tuple(varying)
+        self.verify = verify
+        self.chunk = chunk
+        for name in self.varying:
+            if form.param_specs.get(name) is None:
+                raise ValueError(
+                    f"varying field '{name}' must have a space in "
+                    "param_specs (scalars cannot be gathered per cell)")
+        self._cache_key = None
+        self._coeffs = None
+
+    # ------------------------------------------------------------ build
+    def _frozen_of(self, params):
+        return {k: v for k, v in params.items() if k not in self.varying}
+
+    def prepare(self, params):
+        """Host-side: coefficients (k0, g, H) for these frozen parameters,
+        building or reusing the cache. None when a frozen parameter is
+        traced."""
+        frozen = self._frozen_of(params)
+        if not all(_is_concrete(v) for v in frozen.values()):
+            return None
+        h = hashlib.sha1()
+        for k in sorted(frozen):
+            h.update(k.encode())
+            h.update(np.asarray(frozen[k]).tobytes())
+        ck = h.hexdigest()
+        if self._coeffs is None or ck != self._cache_key:
+            self._coeffs = self._build(params)
+            self._cache_key = ck
+            if self.verify:
+                self._verify(params)
+        return self._coeffs
+
+    def _varying_shapes(self):
+        out = []
+        for name in self.varying:
+            sp = self.form.param_specs[name]
+            out.append((name, int(sp.dofmap_d.shape[1])))
+        return out
+
+    def _build(self, params):
+        form = self.form
+        nd = int(form.space.dofmap_d.shape[1])
+        vshapes = self._varying_shapes()
+        nz = nd + sum(s for _, s in vshapes)
+
+        def taylor(u_cell, x_cell, p):
+            def fz(z):
+                u_c = z[:nd]
+                q = dict(p)
+                off = nd
+                for name, s in vshapes:
+                    q[name] = z[off:off + s].reshape(p[name].shape)
+                    off += s
+                return form.energy_kernel(u_c, x_cell, q)
+
+            z0 = jnp.zeros(nz, dtype=u_cell.dtype)
+            k0 = fz(z0)
+            g = jax.grad(fz)(z0)
+            H = jax.jacfwd(jax.grad(fz))(z0)
+            return k0, g, H
+
+        # varying fields enter the probe as zeros (shape carriers only)
+        p0 = dict(params)
+        for name in self.varying:
+            p0[name] = np.zeros(np.shape(params[name]), dtype=np.float64)
+        u0 = np.zeros(form.space.n_dofs)
+
+        def build(u0_, p_):
+            return form.cell_values(taylor, u0_, p_, chunk=self.chunk)
+
+        return run_setup(_jit_nofold(build), u0, p0)
+
+    # ------------------------------------------------------- evaluation
+    def gather_z(self, u, params):
+        """Stacked per-cell field values (nc, nz) — traceable."""
+        form = self.form
+        cols = [form.space.gather(jnp.asarray(u))]
+        for name in self.varying:
+            sp = form.param_specs[name]
+            cols.append(sp.gather(jnp.asarray(params[name])))
+        return jnp.concatenate(cols, axis=1)
+
+    def evaluate(self, coeffs, u, params):
+        """Exact functional value from precomputed coefficients —
+        traceable/differentiable in u and the varying params. One
+        persistent jitted program per instance (gather + contractions);
+        coefficients are runtime arguments, never trace constants."""
+        jit = getattr(self, "_eval_jit", None)
+        if jit is None:
+            form = self.form
+            specs = [form.param_specs[n] for n in self.varying]
+
+            def run(coeffs, u, vvals):
+                cols = [form.space.gather(u)]
+                for sp, v in zip(specs, vvals):
+                    cols.append(sp.gather(v))
+                return quad_eval(coeffs, jnp.concatenate(cols, axis=1))
+
+            jit = self._eval_jit = jax.jit(run)
+        return jit(coeffs, jnp.asarray(u),
+                   tuple(jnp.asarray(params[n]) for n in self.varying))
+
+    def __call__(self, u, params):
+        """Value with automatic fast/fallback dispatch: precomputed
+        coefficients when the frozen params are concrete AND the primary
+        field carries concrete data (eager / eager-grad execution). Under
+        an abstract trace (fused jit pipelines) or when differentiating a
+        frozen field (shape optimization w.r.t. uhat) the kernel form is
+        assembled instead — it is absorbed into the enclosing program, and
+        passing the multi-MB coefficient arrays into a trace would embed
+        them as jaxpr constants (the constant-folding hazard of
+        fea/pipeline.py)."""
+        from ..fea.model import _has_concrete_data
+
+        if not _has_concrete_data(u):
+            return assemble_scalar(self.form, u, params)
+        coeffs = self.prepare(params)
+        if coeffs is None:
+            return assemble_scalar(self.form, u, params)
+        return self.evaluate(coeffs, u, params)
+
+    def _verify(self, params, rtol=1e-9):
+        """One direct kernel assembly at a deterministic probe point must
+        match the decomposition (catches cross terms with frozen fields or
+        non-quadratic dependence)."""
+        form = self.form
+        n = form.space.n_dofs
+        u_p = np.cos(0.7 * np.arange(n)) * 1e-2
+        p_p = dict(params)
+        for name in self.varying:
+            m = np.shape(params[name])
+            p_p[name] = 0.1 + 0.05 * np.cos(
+                0.3 * np.arange(int(np.prod(m)))).reshape(m)
+        direct = float(run_setup(
+            _jit_nofold(lambda u_, p_: assemble_scalar(form, u_, p_)),
+            u_p, p_p))
+        # ensure_compile_time_eval: verification must produce a real number
+        # even when prepare() was first reached under an ambient trace with
+        # concrete frozen params (e.g. a jitted optimizer objective whose
+        # uhat input is a concrete default)
+        with jax.ensure_compile_time_eval():
+            pred = float(self.evaluate(self._coeffs, jnp.asarray(u_p),
+                                       p_p))
+        scale = max(abs(direct), 1e-300)
+        # device f64 may be float-float (~2^-48); coefficients were built
+        # in host f64
+        tol = max(rtol, 1e4 * 2.0 ** -48)
+        if abs(pred - direct) > tol * scale:
+            raise ValueError(
+                f"quadratic decomposition mismatch: {pred:.12e} vs direct "
+                f"{direct:.12e} — form is not jointly quadratic in "
+                f"(primary, {self.varying})")
+        return abs(pred - direct) / scale

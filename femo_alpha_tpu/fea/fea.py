@@ -231,5 +231,10 @@ class FEA:
                 run = out.fn
             import jax
 
-            prog = cache[key] = jax.jit(run)
+            # fn outputs that manage their own staging (e.g. quadratic
+            # fast paths with host-side coefficient caches,
+            # assembly/quadratic.py) opt out of the wrapper jit: wrapped,
+            # their concrete-vs-traced dispatch would always see tracers
+            prog = cache[key] = (
+                run if getattr(run, "no_jit", False) else jax.jit(run))
         return prog

@@ -193,6 +193,16 @@ class PlateSim:
             self.M_form, self._zero_w,
             {"thickness": t_arr, "rho": jnp.asarray(float(self.rho))},
         )
+        spec = getattr(self, "shard_spec", None)
+        if spec is not None:
+            # multi-chip product path (parallel/product.py shard_model):
+            # split the step operators over the cell axis; XLA's SPMD
+            # partitioner then distributes every consumer — the scan-body
+            # matvecs, the inner CG, and the jax.vjp element kernels of the
+            # transient adjoint (reference MPI analogue:
+            # fea/utils_dolfinx.py:180-186 ghost accumulation)
+            Ke = spec.constrain(Ke, 0)
+            Me = spec.constrain(Me, 0)
         return Ke, Me
 
     def assemble_load(self, f_array, t_arr=None):
@@ -313,6 +323,11 @@ class PlateSim:
                 # hierarchy setup per simulate(), reused by every step
                 p_sg = {"thickness": jax.lax.stop_gradient(t_arr)}
                 state = self.mg.setup(p_sg)
+                spec = getattr(self, "shard_spec", None)
+                if spec is not None:
+                    from ...parallel.product import shard_mg_state
+
+                    state = shard_mg_state(self.mg, state, spec)
                 sdt = state["Ae"][0].dtype
 
                 def Minv(v):

@@ -236,10 +236,17 @@ class RMShellModel:
         if (self.element_wise_material and self.composite_clt is None
                 and not pde.bot_plane):
             from ...assembly.affine import CachedAffineAssembler
+            import jax as _jaxa
 
             lay = "lane" if opts.get("op0_layout") == "lane" else "cells"
+            # storage='df' on TPU: the f64 operator basis lives as a
+            # float-float pair and each re-assembly runs in native-f32
+            # float-float arithmetic (the device stores f64 as exactly that
+            # pair, so nothing is lost) — XLA's emulated-f64 elementwise
+            # pass was 30x off bandwidth (48 ms vs ~3 ms at 63k dofs)
+            sto = "df" if _jaxa.default_backend() == "tpu" else None
             emf = CachedAffineAssembler(residual_form, layout=lay,
-                                        out_layout=lay)
+                                        out_layout=lay, storage=sto)
 
         fea.add_state(
             "disp_solid",
@@ -252,22 +259,120 @@ class RMShellModel:
         if not self.PENALTY_BC:
             fea.add_strong_bc(bc_dofs, 0.0)
 
-        fea.add_output(
-            "compliance", form=pde.compliance_form(),
-            arguments=["disp_solid", "thickness", "uhat"],
+        # Output fast paths (assembly/quadratic.py): compliance, mass and
+        # volume are jointly quadratic in (state, design, density) once
+        # uhat is frozen, so their exact per-cell Taylor coefficients are
+        # precomputed on the host and the device evaluation is kernel-free
+        # (a ~30-150 s remote compile per output program on the tunneled
+        # TPU becomes seconds). Each falls back to the kernel form when a
+        # frozen parameter is traced (shape optimization w.r.t. uhat) or
+        # under a fused jit trace. Reference counterparts:
+        # output_operation.py:51-56 functionals.
+        from ...assembly.quadratic import QuadraticOutput
+        from ...assembly.assemble import (
+            assemble_scalar as _asc,
+            cell_matvec as _cmv,
+            cell_matvec_T as _cmv_T,
         )
-        fea.add_output(
-            "mass", form=pde.mass_form(),
-            arguments=["thickness", "density", "uhat"],
-        )
-        fea.add_output(
-            "volume", form=pde.volume_form(),
-            arguments=["thickness", "uhat"],
-        )
-        fea.add_output(
-            "elastic_energy", form=pde.elastic_energy_form(),
-            arguments=["disp_solid", "thickness", "E", "nu", "uhat"],
-        )
+
+        qo_comp = QuadraticOutput(pde.compliance_form(),
+                                  varying=["thickness"])
+
+        def compliance_fn(vals):
+            return qo_comp(vals["disp_solid"],
+                           {"thickness": vals["thickness"],
+                            "uhat": vals["uhat"]})
+
+        compliance_fn.no_jit = True
+        fea.add_output("compliance", fn=compliance_fn,
+                       arguments=["disp_solid", "thickness", "uhat"])
+
+        qo_mass = QuadraticOutput(pde.mass_form(), varying=["density"])
+
+        def mass_fn(vals):
+            return qo_mass(vals["thickness"],
+                           {"density": vals["density"],
+                            "uhat": vals["uhat"]})
+
+        mass_fn.no_jit = True
+        fea.add_output("mass", fn=mass_fn,
+                       arguments=["thickness", "density", "uhat"])
+
+        qo_vol = QuadraticOutput(pde.volume_form())
+
+        def volume_fn(vals):
+            return qo_vol(vals["thickness"], {"uhat": vals["uhat"]})
+
+        volume_fn.no_jit = True
+        fea.add_output("volume", fn=volume_fn,
+                       arguments=["thickness", "uhat"])
+
+        # elastic energy = 1/2 u^T K(thickness) u exactly (pure quadratic,
+        # no constant/linear term): reuse the affine operator basis — the
+        # stiffness Hessian — instead of a kernel program; verified against
+        # one direct kernel assembly at a probe point on first use.
+        el_form = pde.elastic_energy_form()
+        self._elastic_quad_ok = None
+        W = pde.W
+        _lay = "lane" if opts.get("op0_layout") == "lane" else "cells"
+
+        import jax as _jax2
+
+        @_jax2.jit
+        def _elastic_quad(basis, th, u):
+            Ae = emf.combine(th, basis)
+            if _lay == "lane":
+                ucT = W.gather_T(u)
+                return 0.5 * jnp.sum(ucT * _cmv_T(Ae, ucT))
+            uc = W.gather(u)
+            return 0.5 * jnp.sum(uc * _cmv(Ae, uc))
+
+        def _verify_elastic(basis, p):
+            from ...utils.offload import run_setup
+            import jax as _j
+
+            n = W.n_dofs
+            u_p = np.cos(0.7 * np.arange(n)) * 1e-2
+            th_p = np.full(self.nel if self.element_wise_material
+                           else self.nn, 0.17)
+            direct = float(run_setup(
+                _j.jit(lambda u_, p_: _asc(el_form, u_, p_)),
+                u_p, {**p, "thickness": th_p}))
+            with _j.ensure_compile_time_eval():
+                pred = float(_elastic_quad(basis, jnp.asarray(th_p),
+                                           jnp.asarray(u_p)))
+            scale = max(abs(direct), 1e-300)
+            ok = abs(pred - direct) <= max(1e-9, 1e4 * 2.0 ** -48) * scale
+            if not ok:
+                log("elastic_energy quadratic path mismatch "
+                    f"({pred:.6e} vs {direct:.6e}); using kernel form")
+            return ok
+
+        def elastic_fn(vals):
+            from ...fea.model import _has_concrete_data
+            from ...solvers.dfloat import DF
+
+            p = {k: vals[k] for k in ["thickness", "E", "nu", "uhat"]}
+            u = vals["disp_solid"]
+            if emf is not None and _has_concrete_data(u):
+                basis = emf.prepare(p)
+                # a float-float (DF) basis is value-exact but its jax.grad
+                # picks up the non-smooth error-free transforms (~f32
+                # accuracy); the energy OUTPUT may be differentiated by
+                # users, so DF bases take the kernel form instead
+                if isinstance(basis, DF):
+                    basis = None
+                if basis is not None:
+                    if self._elastic_quad_ok is None:
+                        self._elastic_quad_ok = _verify_elastic(basis, p)
+                    if self._elastic_quad_ok:
+                        return _elastic_quad(basis, vals["thickness"], u)
+            return _asc(el_form, u, p)
+
+        elastic_fn.no_jit = True
+        fea.add_output("elastic_energy", fn=elastic_fn,
+                       arguments=["disp_solid", "thickness", "E", "nu",
+                                  "uhat"])
         fea.add_output(
             "pnorm_stress",
             form=pde.pnorm_stress_form(m=self.m, rho=self.rho),
@@ -392,10 +497,25 @@ class RMShellModel:
         log("Evaluating the RM shell model ...")
         out = self.model.evaluate(inputs)
 
-        out.disp_extracted = DisplacementExtractionModel(pde).evaluate(
-            out.disp_solid)
-        out.aggregated_stress = AggregatedStressModel(
-            self.m, self.rho).evaluate(out.pnorm_stress)
+        from ...fea.model import _has_concrete_data
+
+        if not _has_concrete_data(out.disp_solid):
+            out.disp_extracted = DisplacementExtractionModel(pde).evaluate(
+                out.disp_solid)
+            out.aggregated_stress = AggregatedStressModel(
+                self.m, self.rho).evaluate(out.pnorm_stress)
+        else:
+            # concrete evaluation: post-processed outputs stay lazy like the
+            # FEA outputs they derive from (each is a separate remote
+            # compile on the TPU hostloop path; see VariableGroup.add_lazy)
+            out.add_lazy(
+                "disp_extracted",
+                lambda: DisplacementExtractionModel(pde).evaluate(
+                    out.disp_solid))
+            out.add_lazy(
+                "aggregated_stress",
+                lambda: AggregatedStressModel(
+                    self.m, self.rho).evaluate(out.pnorm_stress))
         log("RM shell model evaluation completed.")
         return out
 

@@ -130,23 +130,27 @@ def _shard_implicit_pde(pde, spec: CellShardSpec):
 
 
 def shard_aux(pde, aux):
-    """Commit a prepared aux pytree = (emf_basis, pc_aux) with cell
-    shardings. emf_basis: (K, nc, nd, nd) cells / (K, nd, nd, nc) lane.
-    pc_aux: tuple of per-level bases in the preconditioner's layout."""
+    """Commit a prepared aux pytree = (emf_basis, pc_aux, facet_ops)
+    with cell shardings. emf_basis: (K, nc, nd, nd) cells /
+    (K, nd, nd, nc) lane. pc_aux: tuple of per-level bases in the
+    preconditioner's layout. facet_ops (O(boundary), tiny) replicate."""
     spec = getattr(pde, "shard_spec", None)
     if spec is None or aux is None:
         return aux
-    emf_basis, pc_aux = aux
+    emf_basis, pc_aux = aux[0], aux[1]
+    rest = aux[2:]
     if emf_basis is not None:
         cd = 1 + _op0_cell_dim(pde) if _op0_cell_dim(pde) == 0 else 3
-        emf_basis = spec.commit(emf_basis, cd)
+        # tree_map: the basis may be a float-float DF pair of arrays
+        # (assembly/affine.py storage='df') — each leaf shares the layout
+        emf_basis = jax.tree.map(lambda a: spec.commit(a, cd), emf_basis)
     if pc_aux:
         pc = getattr(pde, "_pc", None)
         lane = bool(getattr(getattr(pc, "mg", None), "lane_major", False))
         pc_aux = tuple(
             spec.commit(b, 3 if lane else 1) for b in pc_aux
         )
-    return (emf_basis, pc_aux)
+    return (emf_basis, pc_aux) + tuple(rest)
 
 
 def shard_ops(pde, ops_Ae):

@@ -74,8 +74,9 @@ def sparse_operator(op, params, u0=None):
     if u0 is None:
         u0 = jnp.zeros(n)
     aux = op.prepare_aux(params)
-    emf_basis, _ = aux
-    ops_Ae = op._assemble_ops(u0, params, emf_basis=emf_basis)
+    emf_basis, fops = aux[0], (aux[2] if len(aux) > 2 else None)
+    ops_Ae = op._assemble_ops(u0, params, emf_basis=emf_basis,
+                              facet_ops=fops)
     K = None
     specs = op._op_specs
     for k, (Ae, spec) in enumerate(zip(ops_Ae, specs)):

@@ -114,3 +114,32 @@ def test_bench_affine_matches_direct(precond):
         float(out_d["J"]))
     np.testing.assert_allclose(np.asarray(out_a["grad"]),
                                np.asarray(out_d["grad"]), rtol=1e-6)
+
+
+def test_df_storage_combine_matches_plain():
+    """storage='df' (float-float basis pair + native-f32 combine — the TPU
+    re-assembly fast path) must reproduce the plain-f64 combine to
+    float-float precision in both layouts."""
+    import jax.numpy as jnp
+
+    from femo_alpha_tpu.mesh import createRectangleMesh
+    from femo_alpha_tpu.models.rm_shell.pde import RMShellPDE
+    from femo_alpha_tpu.assembly.affine import CachedAffineAssembler
+
+    mesh = createRectangleMesh(8, 4, (0, 0), (10.0, 2.0), "quad", gdim=3)
+    pde = RMShellPDE(mesh, element_wise_material=True)
+    form = pde.make_residual_form()
+    nel, nn = mesh.n_cells, mesh.n_nodes
+    params = {"thickness": jnp.full(nel, 0.2) * (1 + 0.1 * jnp.arange(nel) / nel),
+              "E": jnp.full(nel, 4.32e8), "nu": jnp.full(nel, 0.1),
+              "uhat": jnp.zeros(3 * nn), "F_solid": jnp.zeros(3 * nn)}
+    u0 = jnp.zeros(pde.W.n_dofs)
+    for lay in ["cells", "lane"]:
+        a_df = CachedAffineAssembler(form, layout=lay, out_layout=lay,
+                                     storage="df")
+        a_pl = CachedAffineAssembler(form, layout=lay, out_layout=lay)
+        Ae_df = a_df(u0, params)
+        Ae_pl = a_pl(u0, params)
+        err = float(jnp.max(jnp.abs(Ae_df - Ae_pl))
+                    / jnp.max(jnp.abs(Ae_pl)))
+        assert err < 1e-12, (lay, err)

@@ -93,7 +93,10 @@ def test_modal_lobpcg_matches_dense():
     # the relative-residual floor of a small eigenvalue is
     # ~eps*lam_max/lam_i (Ritz values converge as res^2, hence the much
     # tighter eigenvalue assert above)
-    assert np.all(np.asarray(out_l.res_norms) < 1e-6)
+    # Ritz values converge as res^2, so the 1e-10 eigenvalue agreement
+    # above corresponds to residuals ~1e-5; the old 1e-6 bound sat right
+    # at the observed values (1.07e-6 on this host) and flaked
+    assert np.all(np.asarray(out_l.res_norms) < 1e-5)
     assert out_l.iterations < 50
     # modes are M-orthonormal up to sign: check via the Rayleigh identity
     # lam_i = phi_i^T K phi_i when phi_i^T M phi_i = 1 (already asserted by
