@@ -164,29 +164,65 @@ def _store_baseline(nx, ny, wall):
 def _run_child(nx, ny, timeout, extra_env=None):
     """Run this script in child mode at (nx, ny); returns the child's full
     result dict or an {'error': ...} dict. A child crash/OOM/hang can never
-    take the parent (and its already-flushed headline) down with it."""
+    take the parent (and its already-flushed headline) down with it.
+
+    Children are watched for LIVENESS: a flaky-tunnel backend init hangs
+    ~50% of process attempts (0% CPU, forever). A child that produces no
+    output within the first 240 s is killed and retried (budget is shared
+    across attempts) instead of silently eating the whole budget."""
+    import tempfile
+    import time as _time
+
     env = dict(os.environ)
     env["FEMO_BENCH_CHILD"] = "1"
     env["FEMO_BENCH_NX"] = str(nx)
     env["FEMO_BENCH_NY"] = str(ny)
     env.update(extra_env or {})
+    deadline = _time.time() + timeout
+    attempt = 0
     try:
-        res = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            capture_output=True, text=True, timeout=timeout, env=env,
-        )
-        sys.stderr.write(res.stderr[-4000:])
-        for line in res.stdout.strip().splitlines():
-            try:
-                d = json.loads(line)
-                if "wall_s" in d:
-                    return d
-            except json.JSONDecodeError:
-                continue
-        return {"error": "child produced no result line "
-                         f"(rc {res.returncode})"}
-    except subprocess.TimeoutExpired:
-        return {"error": f"child timed out after {timeout}s"}
+        while _time.time() < deadline - 30:
+            attempt += 1
+            with tempfile.TemporaryFile("w+") as fout, \
+                    tempfile.TemporaryFile("w+") as ferr:
+                proc = subprocess.Popen(
+                    [sys.executable, os.path.abspath(__file__)],
+                    stdout=fout, stderr=ferr, text=True, env=env)
+                born = _time.time()
+                alive_ok = False
+                while proc.poll() is None:
+                    _time.sleep(5)
+                    if not alive_ok and ferr.tell() + fout.tell() > 0:
+                        alive_ok = True
+                    if not alive_ok and _time.time() - born > 240:
+                        proc.kill()
+                        proc.wait()
+                        print(f"[bench] child attempt {attempt} showed no "
+                              "life in 240s (init hang); retrying",
+                              file=sys.stderr)
+                        break
+                    if _time.time() > deadline:
+                        proc.kill()
+                        proc.wait()
+                        return {"error":
+                                f"child timed out after {timeout}s"}
+                if proc.returncode is None:
+                    continue  # killed for liveness; retry
+                ferr.seek(0)
+                err_txt = ferr.read()
+                sys.stderr.write(err_txt[-4000:])
+                fout.seek(0)
+                for line in fout.read().strip().splitlines():
+                    try:
+                        d = json.loads(line)
+                        if "wall_s" in d:
+                            return d
+                    except json.JSONDecodeError:
+                        continue
+                return {"error": "child produced no result line "
+                                 f"(rc {proc.returncode})"}
+        return {"error": f"child init-hang retries exhausted {timeout}s "
+                         "budget"}
     except Exception as e:  # noqa: BLE001
         return {"error": " ".join(str(e).splitlines())[:300]}
 
@@ -230,28 +266,37 @@ def report(out, nx, ny):
     )
 
 
-def _probe_backend(timeout=420):
+def _probe_backend(timeout=90, attempts=4):
     """TPU-tunnel outages make jax backend init hang forever (observed:
-    jax.devices() blocked >10 min with 0% CPU). Probe the default backend in
-    a SUBPROCESS with a timeout and fall back to CPU on failure so the
-    driver always gets a result line instead of a hang. An explicit
-    FEMO_PLATFORM wins; the probe exits before this process initializes its
-    own client, so there is no double-client conflict."""
+    jax.devices() blocked >10 min with 0% CPU), and init hangs are FLAKY —
+    measured ~50% per process attempt during tunnel degradation, with
+    immediate success on retry. Probe the default backend in SUBPROCESSES
+    with short timeouts, retrying a few times, and fall back to CPU only
+    when every attempt hangs. An explicit FEMO_PLATFORM wins; probes exit
+    before this process initializes its own client, so there is no
+    double-client conflict."""
     if os.environ.get("FEMO_PLATFORM"):
         return
     code = ("import jax, jax.numpy as jnp; jax.devices(); "
             "(jnp.ones((8, 8)) @ jnp.ones((8, 8))).block_until_ready(); "
             "print(jax.default_backend())")
-    try:
-        res = subprocess.run([sys.executable, "-c", code], timeout=timeout,
-                             capture_output=True, text=True)
-        ok = res.returncode == 0
-    except subprocess.TimeoutExpired:
-        ok = False
-    if not ok:
-        print("[bench] device backend unreachable within "
-              f"{timeout}s; falling back to CPU", file=sys.stderr)
-        os.environ["FEMO_PLATFORM"] = "cpu"
+    for k in range(attempts):
+        try:
+            res = subprocess.run([sys.executable, "-c", code],
+                                 timeout=timeout, capture_output=True,
+                                 text=True)
+            if res.returncode == 0:
+                if k:
+                    print(f"[bench] backend probe succeeded on attempt "
+                          f"{k + 1}", file=sys.stderr)
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"[bench] backend probe attempt {k + 1}/{attempts} hung "
+              f"after {timeout}s", file=sys.stderr)
+    print("[bench] device backend unreachable; falling back to CPU",
+          file=sys.stderr)
+    os.environ["FEMO_PLATFORM"] = "cpu"
 
 
 def main():

@@ -45,34 +45,43 @@ _jax.config.update(
     _os.environ.get("FEMO_MATMUL_PRECISION", "highest"),
 )
 
-# Persistent compilation cache: OFF by default (opt in with
-# FEMO_COMPILE_CACHE=1). Measured on the tunneled TPU backend
-# (2026-08-18): cache keys differ across processes, so entries never hit
-# — and worse, the in-process CPU backend (setup offload,
-# utils/offload.py) loads stale XLA:CPU AOT artifacts recorded on a
-# DIFFERENT host despite a machine-feature mismatch warning, which can
-# produce silently wrong numerics (observed: an exact affine
-# decomposition verifying at 1e-7 instead of 1e-15). A cache dir shared
-# by both backends of one process cannot be made safe with per-backend
-# env tags alone.
-if (
-    _os.environ.get("FEMO_COMPILE_CACHE", "0") == "1"
-    and _platform != "cpu"
-):
-    _cache_dir = _os.environ.get(
-        "FEMO_COMPILE_CACHE_DIR",
-        _os.path.join(_os.path.dirname(__file__), "..", ".jax_cache"),
-    )
+# Persistent compilation cache: ON by default (FEMO_COMPILE_CACHE=0 to
+# disable). On the tunneled TPU backend every program remote-compiles at
+# ~0.1-1 s/HLO-op per process; the cache turns that into a one-time cost
+# (measured 2026-08-20: 1.76 s -> 0.18 s across processes for a 40-op
+# program). Hazard handled: XLA:CPU entries bake host machine features
+# into AOT artifacts, and this VM can migrate between physical hosts —
+# a stale cross-host entry once produced silently wrong numerics (an
+# exact affine decomposition verifying at 1e-7 instead of 1e-15). The
+# cache directory is therefore fingerprinted by (jax version, CPU model
+# + feature flags): a host migration gets a cold cache, never a stale
+# one. Both backends of one process share the fingerprinted dir — keys
+# already separate platforms.
+if _os.environ.get("FEMO_COMPILE_CACHE", "1") != "0":
+    _cache_root = _os.environ.get(
+        "FEMO_COMPILE_CACHE_DIR", "/root/.cache/femo_xla")
     try:
-        # scope by backend: CPU AOT artifacts record host machine features
-        # that may not match across processes
-        _backend_tag = _os.environ.get("FEMO_PLATFORM") or _os.environ.get(
-            "JAX_PLATFORMS", "default")
+        import hashlib as _hashlib
+
+        def _machine_fingerprint():
+            feats = [_jax.__version__]
+            try:
+                with open("/proc/cpuinfo") as _f:
+                    for _line in _f:
+                        if _line.startswith(("model name", "flags")):
+                            feats.append(_line.strip())
+                            if len(feats) >= 3:
+                                break
+            except OSError:
+                pass
+            return _hashlib.sha1("|".join(feats).encode()).hexdigest()[:16]
+
         _jax.config.update(
             "jax_compilation_cache_dir",
-            _os.path.join(_cache_dir, _backend_tag.replace(",", "_")),
+            _os.path.join(_cache_root, _machine_fingerprint()),
         )
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:  # older jax without these options
         pass
 

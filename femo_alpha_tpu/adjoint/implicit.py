@@ -293,8 +293,23 @@ class ImplicitPDE:
         cached = getattr(self, "_fops_cache", None)
         if cached is not None and cached[0] == ck:
             return cached[1]
+        from ..utils import diskcache
         from ..utils.offload import run_setup
 
+        mesh = self.form.space.mesh
+        hd = hashlib.sha1(ck.encode())
+        hd.update(np.asarray(mesh.coords).tobytes())
+        hd.update(np.asarray(mesh.conn).tobytes())
+        hd.update(str(self.n_dofs).encode())
+        dk = hd.hexdigest()
+        arrs = diskcache.load("facetops", dk)
+        if arrs is not None:
+            # real arrays even under an ambient trace (see affine.py
+            # _disk_load): cached tracers would leak
+            with jax.ensure_compile_time_eval():
+                fops = tuple(jnp.asarray(a) for a in arrs)
+            self._fops_cache = (ck, fops)
+            return fops
         u0 = np.zeros(self.n_dofs)
 
         def build(u0_, p_):
@@ -304,7 +319,8 @@ class ImplicitPDE:
             return tuple(out)
 
         fops = run_setup(jax.jit(build), u0,
-                         {k: np.asarray(v) for k, v in rel.items()})
+                        {k: np.asarray(v) for k, v in rel.items()})
+        diskcache.store("facetops", dk, [np.asarray(a) for a in fops])
         self._fops_cache = (ck, fops)
         return fops
 

@@ -646,10 +646,24 @@ class LibraryBench:
             p["thickness"] = th_
             return op._assemble_ops(u0, p, emf_basis=basis_)
 
+        # amortized over a pipeline of async dispatches: a single
+        # dispatch+sync over the tunneled TPU has a ~20-40 ms round-trip
+        # LATENCY floor that swamps the ~ms-scale compute at 63k dofs
+        # (measured: 48-65 ms "assembly" that is >90% tunnel sync). The
+        # optimizer-iteration workload dispatches assembly as part of a
+        # longer program stream, so throughput — distinct designs, queued
+        # back-to-back, one sync — is the honest metric; the one-shot
+        # latency is reported alongside.
         sync(_asm(th, basis))
         t0 = time.time()
         sync(_asm(th, basis))
-        assembly_s = time.time() - t0
+        assembly_lat_s = time.time() - t0
+        reps = 8
+        ths = [th * (1.0 + 1e-4 * (j + 1)) for j in range(reps)]
+        t0 = time.time()
+        outs = [_asm(t_, basis) for t_ in ths]
+        sync(outs)
+        assembly_s = (time.time() - t0) / reps
         hs = getattr(getattr(op, "_hostloop", None), "last_stats", {}) or {}
         return dict(
             wall_s=float(np.median(times)),
@@ -663,5 +677,6 @@ class LibraryBench:
             J=float(out["J"]),
             grad_norm=float(jnp.linalg.norm(out["grad"])),
             assembly_s=float(assembly_s),
+            assembly_latency_s=float(assembly_lat_s),
             assembly_mdof_s=float(self.n_dofs / max(assembly_s, 1e-12) / 1e6),
         )

@@ -82,8 +82,15 @@ class FEAModel:
                 u = fea.solve(sname, params, u0=u0)
                 vals[sname] = u
                 abstract = abstract or not _has_concrete_data(u)
-                if not _is_tracing(u):
-                    self._last_states[sname] = u
+                uc = _concrete_value(u)
+                if uc is not None:
+                    # under an eager jax.grad, u is a JVP tracer whose
+                    # primal chain bottoms out in the actual solution —
+                    # store THAT (storing nothing meant warm starts never
+                    # engaged during gradient evaluation, i.e. on every
+                    # optimizer iteration: each solve restarted from
+                    # rel=1.0 instead of ~the design-step size)
+                    self._last_states[sname] = uc
             for oname in fea.outputs:
                 if abstract:
                     vals[oname] = fea.evaluate_output(oname, vals)
@@ -109,6 +116,19 @@ def _is_tracing(x):
     import jax.core
 
     return isinstance(x, jax.core.Tracer)
+
+
+def _concrete_value(x):
+    """The concrete array at the bottom of a JVP-tracer primal chain (the
+    actual computed value under an eager jax.grad), the array itself when
+    already concrete, or None under an abstract trace."""
+    import jax.core
+
+    while isinstance(x, jax.core.Tracer):
+        x = getattr(x, "primal", None)
+        if x is None:
+            return None
+    return x
 
 
 def _has_concrete_data(x):

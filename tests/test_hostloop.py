@@ -100,8 +100,11 @@ def test_hostloop_true_residual_at_floor():
 
     cc = direct_crosscheck(pde, params, u_h)
     assert cc["nodal_l2"] < 1e-8, cc
-    # backward-stable at machine precision, like the direct solve itself
-    assert cc["omega"] < 100 * np.finfo(np.float64).eps, cc
+    # backward-stable at machine-precision class, like the direct solve:
+    # componentwise backward error for a backward-stable f64 solve is
+    # O(n)*eps (n = 16k dofs here -> ~3.6e-12); observed ~1e-14-3e-14
+    # depending on where the refinement loop's floor-based exit lands
+    assert cc["omega"] < 1000 * np.finfo(np.float64).eps, cc
 
 
 def test_hostloop_tpu_arithmetic_config_nodal_accuracy():
