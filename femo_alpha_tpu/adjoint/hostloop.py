@@ -194,48 +194,72 @@ class HostloopPrograms:
             z = M(b)
             return z, jnp.vdot(b, z), jnp.linalg.norm(b)
 
-        @jax.jit
-        def chunk_plain(params, u, ops_Ae, M_state, x, r, z, p, rz, target):
-            from ..solvers.krylov import cg_chunk_iterations
+        def chunk_plain_of(size):
+            @jax.jit
+            def chunk_plain(params, u, ops_Ae, M_state, x, r, z, p, rz,
+                            target):
+                from ..solvers.krylov import cg_chunk_iterations
 
-            mv, M = mv_M(params, u, ops_Ae, M_state)
-            return cg_chunk_iterations(mv, M, self.chunk, x, r, z, p, rz,
-                                       target)
+                mv, M = mv_M(params, u, ops_Ae, M_state)
+                return cg_chunk_iterations(mv, M, size, x, r, z, p, rz,
+                                           target, count=True)
 
-        @jax.jit
-        def chunk_df(params, u, ops_Ae, M_state, x, r, z, p, rz64, target):
-            from ..solvers.dfloat import (
-                df_axpy,
-                df_dot,
-                df_from_f64,
-                df_neg,
-                df_to_f64,
-            )
+            return chunk_plain
 
-            mv, M = mv_M(params, u, ops_Ae, M_state)
+        def chunk_df_of(size):
+            @jax.jit
+            def chunk_df(params, u, ops_Ae, M_state, x, r, z, p, rz64,
+                         target):
+                from ..solvers.dfloat import (
+                    df_axpy,
+                    df_dot,
+                    df_from_f64,
+                    df_neg,
+                    df_to_f64,
+                )
 
-            def body(_, st):
-                x, r, z, p, rz64 = st
-                Ap = df_from_f64(mv(df_to_f64(p)))
-                pAp64 = df_to_f64(df_dot(p, Ap))
-                rnorm2 = df_to_f64(df_dot(r, r))
-                active = rnorm2 > target * target
-                alpha64 = jnp.where(
-                    active, rz64 / jnp.where(pAp64 != 0, pAp64, 1.0), 0.0)
-                alpha = df_from_f64(alpha64)
-                x = df_axpy(alpha, p, x)
-                r = df_axpy(df_neg(alpha), Ap, r)
-                z = df_from_f64(M(df_to_f64(r)))
-                rz_new64 = df_to_f64(df_dot(r, z))
-                beta64 = jnp.where(
-                    active, rz_new64 / jnp.where(rz64 != 0, rz64, 1.0), 0.0)
-                p = df_axpy(df_from_f64(beta64), p, z)
-                rz64 = jnp.where(active, rz_new64, rz64)
-                return (x, r, z, p, rz64)
+                mv, M = mv_M(params, u, ops_Ae, M_state)
 
-            x, r, z, p, rz64 = jax.lax.fori_loop(
-                0, self.chunk, body, (x, r, z, p, rz64))
-            return x, r, z, p, rz64, jnp.sqrt(df_to_f64(df_dot(r, r)))
+                def body(_, st):
+                    x, r, z, p, rz64, n = st
+                    Ap = df_from_f64(mv(df_to_f64(p)))
+                    pAp64 = df_to_f64(df_dot(p, Ap))
+                    rnorm2 = df_to_f64(df_dot(r, r))
+                    active = rnorm2 > target * target
+                    alpha64 = jnp.where(
+                        active, rz64 / jnp.where(pAp64 != 0, pAp64, 1.0),
+                        0.0)
+                    alpha = df_from_f64(alpha64)
+                    x = df_axpy(alpha, p, x)
+                    r = df_axpy(df_neg(alpha), Ap, r)
+                    z = df_from_f64(M(df_to_f64(r)))
+                    rz_new64 = df_to_f64(df_dot(r, z))
+                    beta64 = jnp.where(
+                        active, rz_new64 / jnp.where(rz64 != 0, rz64, 1.0),
+                        0.0)
+                    p = df_axpy(df_from_f64(beta64), p, z)
+                    rz64 = jnp.where(active, rz_new64, rz64)
+                    n = n + active.astype(n.dtype)
+                    return (x, r, z, p, rz64, n)
+
+                x, r, z, p, rz64, n = jax.lax.fori_loop(
+                    0, size, body,
+                    (x, r, z, p, rz64, jnp.zeros((), jnp.int32)))
+                return x, r, z, p, rz64, jnp.sqrt(df_to_f64(df_dot(r, r))), n
+
+            return chunk_df
+
+        # chunk programs per (trip count, vector representation), built
+        # lazily: a solve that history says needs ~25 iterations runs a
+        # 32-trip program, not a 128-trip one — converged lanes
+        # self-deactivate but still pay the matvec+preconditioner, which
+        # on the band path costs ~22 ms/iteration (wing measurements)
+        self._chunk_cache = {}
+        self._chunk_plain_of = chunk_plain_of
+        self._chunk_df_of = chunk_df_of
+        # per-call-site converged-iteration history (EWMA), keyed by the
+        # caller's est_key — drives the chunk-size schedule
+        self._est = {}
 
         @jax.jit
         def res0(params):
@@ -324,8 +348,6 @@ class HostloopPrograms:
         self._asm_affine = _traced("asm_affine", asm_affine)
         self._res0 = _traced("res0", res0)
         self._start = _traced("start", start)
-        self._chunk_plain = _traced("chunk", chunk_plain)
-        self._chunk_df = _traced("chunk_df", chunk_df)
         self._true_res = _traced("true_res", true_res)
         self._adj_true_res = _traced("adj_true_res", adj_true_res)
         self._floor_scale = _traced("floor_scale", floor_scale)
@@ -337,33 +359,74 @@ class HostloopPrograms:
 
         return _use_df_vectors(dtype)
 
+    _SIZES = (16, 32, 64)
+
+    def _chunk_prog(self, size, df):
+        key = (int(size), bool(df))
+        fn = self._chunk_cache.get(key)
+        if fn is None:
+            fn = (self._chunk_df_of if df else self._chunk_plain_of)(size)
+            fn = _traced(f"chunk{'_df' if df else ''}[{size}]", fn)
+            self._chunk_cache[key] = fn
+        return fn
+
+    def _pick_size(self, est):
+        for s in self._SIZES:
+            if s < self.chunk and est <= 0.85 * s:
+                return s
+        return self.chunk
+
     def vjp_params(self, params, u, lam):
         """-(dR/dparams)^T lam. Affine path: evaluated on the host CPU
         backend (native f64, compiles in seconds, ~0.1-0.2 s/call at 63k
         dofs) — the only place the per-cell kernel runs at all on that
         path. Generic path: the device program."""
         if self.affine:
+            import numpy as np
+
             from ..utils.offload import run_setup
 
-            return run_setup(self._vjp_host_jit, params, u, lam)
+            return run_setup(self._vjp_host_jit, self._params_host(params),
+                             np.asarray(u, dtype=np.float64),
+                             np.asarray(lam, dtype=np.float64))
         return self._vjp_device(params, u, lam)
+
+    def _params_host(self, params):
+        """Numpy copies of the params tree, cached by leaf object identity:
+        the host truth programs (res/adj_res/vjp) are called 4-8 times per
+        eval with the SAME params, and each un-cached call re-pulls every
+        array over the tunnel (~20 ms × n_arrays × n_calls). The custom_vjp
+        residuals keep the forward's leaf objects alive, so identity is a
+        sound content key within one forward+adjoint."""
+        import numpy as np
+
+        leaves = jax.tree.leaves(params)
+        ids = tuple(map(id, leaves))
+        cached = getattr(self, "_ph_cache", None)
+        if cached is not None and cached[0] == ids:
+            return cached[1]
+        ph = jax.tree.map(lambda a: np.asarray(a), params)
+        self._ph_cache = (ids, ph)
+        return ph
 
     def _host_res(self, params, u_np):
         """Host-CPU f64 constrained residual at `u_np` (numpy). Returns
         (r on the default device, norm float)."""
         from ..utils.offload import run_setup
 
-        r, rn = run_setup(self._res_host_jit, params, u_np)
+        r, rn = run_setup(self._res_host_jit, self._params_host(params),
+                          u_np)
         return r, float(rn)
 
     def _host_adj_res(self, params, u_np, lam_np, b_np):
         from ..utils.offload import run_setup
 
-        r, rn = run_setup(self._adjres_host_jit, params, u_np, lam_np, b_np)
+        r, rn = run_setup(self._adjres_host_jit, self._params_host(params),
+                          u_np, lam_np, b_np)
         return r, float(rn)
 
     def solve_linear(self, params, u, ops_Ae, M_state, b, label="",
-                     abs_target=0.0, x0=None):
+                     abs_target=0.0, x0=None, est_key=None):
         """Host-chunked PCG for the constrained system, with true-residual
         restarts: the loop exits on the recurrence residual, verifies
         against b - A x, and re-enters (fresh Krylov space) until the TRUE
@@ -381,7 +444,12 @@ class HostloopPrograms:
         quits early nor burns restarts confirming an unreachable target.
 
         `x0`: optional warm start (e.g. the previous optimizer iteration's
-        adjoint, or the self-adjoint seed alpha*u — see solve_adjoint)."""
+        adjoint, or the self-adjoint seed alpha*u — see solve_adjoint).
+        `est_key`: history key for the converged-iteration estimator — the
+        first chunk is sized to the previous converged count at this call
+        site (16/32/64/chunk), so a solve that needs ~25 iterations does
+        not pay for 128 (converged lanes self-deactivate but still run
+        the matvec+preconditioner: ~22 ms/iteration on the band path)."""
         bnorm = float(jnp.linalg.norm(b))
         if bnorm == 0.0:
             return jnp.zeros_like(b), 0, 0.0
@@ -409,23 +477,37 @@ class HostloopPrograms:
             r64 = b
             z64, rz, rn = self._start(params, u, ops_Ae, M_state, b)
         it = 0
+        act = 0
         resnorm = float(rn)
         best = (resnorm, x64)
         prev_true = None
+        ek = est_key or label
+        est = self._est.get(ek)
+        first_chunk = est is not None
         trail = []  # (iters_so_far, true_resnorm) per restart boundary
         for _ in range(self.restarts + 1):
             if use_df:
                 x, r, z, p = (df_from_f64(v)
                               for v in (x64, r64, z64, z64))
-                run = self._chunk_df
             else:
                 x, r, z, p = x64, r64, z64, z64
-                run = self._chunk_plain
             while resnorm > float(target) and it < self.maxiter:
-                x, r, z, p, rz, rn = run(params, u, ops_Ae, M_state,
-                                         x, r, z, p, rz, target)
+                if first_chunk:
+                    size = self._pick_size(est)
+                elif resnorm <= 100.0 * float(target):
+                    # near miss: top up with the smallest chunk instead of
+                    # paying a full one (a 16-trip program converging a
+                    # 1.1x-over-target recurrence costs 16 matvecs, not 128)
+                    size = self._SIZES[0]
+                else:
+                    size = self.chunk
+                first_chunk = False
+                run = self._chunk_prog(size, use_df)
+                x, r, z, p, rz, rn, na = run(params, u, ops_Ae, M_state,
+                                             x, r, z, p, rz, target)
                 resnorm = float(rn)
-                it += self.chunk
+                it += size
+                act += int(na)
             x64 = df_to_f64(x) if use_df else x
             # recurrence test fired (or budget ran out): verify truth
             r64, z64, rz, rn = self._true_res(params, u, ops_Ae, M_state,
@@ -455,8 +537,12 @@ class HostloopPrograms:
             self.inner_attain = min(max(self.inner_attain, 0.7 * rel), 1e-5)
         elif rel < 0.3 * self.inner_attain:
             self.inner_attain = max(0.7 * self.inner_attain, 1e-9)
+        # converged-iteration history for the chunk-size schedule (stalled
+        # solves count their full budget, pushing the estimate back up)
+        prev_est = self._est.get(ek)
+        self._est[ek] = act if prev_est is None else (prev_est + act + 1) // 2
         if _TRACE:
-            log(f"hostloop solve{label}: it={it} "
+            log(f"hostloop solve{label}: it={it} act={act} "
                 + " ".join(f"{i}:{rn / bnorm:.1e}" for i, rn in trail)
                 + f" target={float(target) / bnorm:.1e} "
                 f"attain={self.inner_attain:.1e}")
@@ -515,7 +601,8 @@ class HostloopPrograms:
             prev = rel
             du, _, _ = self.solve_linear(
                 params, u, ops_Ae, M_state, r, label=" fwd",
-                abs_target=max(self.tol * scale, 0.5 * floor_abs))
+                abs_target=max(self.tol * scale, 0.5 * floor_abs),
+                est_key=f"gfwd{min(k, 1)}")
             u = u - du
             k += 1
         rel, kb, u, ops_Ae, M_state = best
@@ -603,7 +690,8 @@ class HostloopPrograms:
             # attainable clamp lives inside solve_linear (inner_attain)
             du, it_, _ = self.solve_linear(
                 params, u, ops_Ae, M_state, r, label=" fwd",
-                abs_target=max(self.tol * scale, 0.5 * host_floor))
+                abs_target=max(self.tol * scale, 0.5 * host_floor),
+                est_key=f"fwd{min(k, 1)}")
             iters += it_
             u_np = u_np - np.asarray(du, dtype=np.float64)
             u_np = self._f_np * u_np + self._uz_np
@@ -638,7 +726,8 @@ class HostloopPrograms:
                                         bnorm)
         abs_target = self.tol * bnorm
         lam, _, _ = self.solve_linear(params, u, ops_Ae, M_state, b,
-                                      label=" adj", abs_target=abs_target)
+                                      label=" adj", abs_target=abs_target,
+                                      est_key="gadj0")
         lam = pde.free_mask * lam
         prev = None
         best = None  # (rel, k, lam) — lowest vjp-true residual
@@ -659,7 +748,8 @@ class HostloopPrograms:
             prev = rel
             dlam, _, _ = self.solve_linear(
                 params, u, ops_Ae, M_state, r, label=" adj",
-                abs_target=max(abs_target, 0.5 * floor_abs))
+                abs_target=max(abs_target, 0.5 * floor_abs),
+                est_key="gadj1")
             lam = pde.free_mask * (lam + dlam)
         rel, kb, lam = best
         if rel > self.warn_rel and rel * bnorm > 2.0 * floor_abs:
@@ -730,7 +820,8 @@ class HostloopPrograms:
             # solve_linear's inner_attain clamp (see _forward_affine)
             dlam, it_, _ = self.solve_linear(
                 params, u, ops_Ae, M_state, r, label=" adj",
-                abs_target=max(self.tol * bnorm, 0.5 * host_floor))
+                abs_target=max(self.tol * bnorm, 0.5 * host_floor),
+                est_key=f"adj{min(k, 1)}")
             iters += it_
             lam_np = fh * (lam_np + np.asarray(dlam, dtype=np.float64))
         rel, kb, lam_np = best

@@ -162,13 +162,16 @@ def make_cg_chunk(matvec, M=None, chunk=40):
     return run_chunk
 
 
-def cg_chunk_iterations(matvec, M, chunk, x, r, z, p, rz, target):
+def cg_chunk_iterations(matvec, M, chunk, x, r, z, p, rz, target,
+                        count=False):
     """`chunk` frozen-on-converged PCG iterations (pure function — embed in
-    any jit; see make_cg_chunk)."""
+    any jit; see make_cg_chunk). With count=True also returns the number
+    of ACTIVE (not yet converged) iterations as a final int32 scalar —
+    callers use it to right-size subsequent chunks."""
     import jax
 
     def body(_, st):
-        x, r, z, p, rz = st
+        x, r, z, p, rz, n = st
         Ap = matvec(p)
         pAp = jnp.vdot(p, Ap)
         active = jnp.linalg.norm(r) > target
@@ -182,9 +185,13 @@ def cg_chunk_iterations(matvec, M, chunk, x, r, z, p, rz, target):
                          0.0)
         p = z + beta * p
         rz = jnp.where(active, rz_new, rz)
-        return (x, r, z, p, rz)
+        n = n + active.astype(n.dtype)
+        return (x, r, z, p, rz, n)
 
-    x, r, z, p, rz = jax.lax.fori_loop(0, chunk, body, (x, r, z, p, rz))
+    x, r, z, p, rz, n = jax.lax.fori_loop(
+        0, chunk, body, (x, r, z, p, rz, jnp.zeros((), jnp.int32)))
+    if count:
+        return x, r, z, p, rz, jnp.linalg.norm(r), n
     return x, r, z, p, rz, jnp.linalg.norm(r)
 
 

@@ -32,6 +32,11 @@ def main():
     from femo_alpha_tpu.mesh import createWingShellMesh
     from femo_alpha_tpu.models import RMShellModel
 
+    jax.devices()
+    # liveness marker for init-hang watchdogs (the tunneled backend hangs
+    # ~50% of process inits during degradation; see bench.py _probe_backend)
+    print("FEMOLIFE", file=sys.stderr, flush=True)
+
     n_chord = int(os.environ.get("FEMO_WING_CHORD", "18"))
     n_span = int(os.environ.get("FEMO_WING_SPAN", "66"))
     mesh = createWingShellMesh(
