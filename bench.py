@@ -286,9 +286,8 @@ def _probe_backend(timeout=90, attempts=4):
                                  timeout=timeout, capture_output=True,
                                  text=True)
             if res.returncode == 0:
-                if k:
-                    print(f"[bench] backend probe succeeded on attempt "
-                          f"{k + 1}", file=sys.stderr)
+                print(f"[bench] backend probe ok (attempt {k + 1})",
+                      file=sys.stderr, flush=True)
                 return
         except subprocess.TimeoutExpired:
             pass
