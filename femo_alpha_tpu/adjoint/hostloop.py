@@ -36,6 +36,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..utils.logging import log
 
@@ -100,8 +101,15 @@ class HostloopPrograms:
         opts = pde.solver_opts
         self.tol = float(opts.get("tol", 1e-12))
         n = pde.n_dofs
+        # iteration ceiling: a backstop, not the convergence mechanism.
+        # MG/band-preconditioned solves converge in tens of iterations at
+        # any size that fits one chip; a solve still running after a few
+        # thousand is stalled at its attainable floor, and the in-loop
+        # stall break (solve_linear) + outer refinement own that case.
+        # The old min(10*n, 200k) ceiling let ONE stalled 988k-dof solve
+        # burn 1563 x 12.7 s chunks (~5.5 h) before giving up.
         self.maxiter = int(opts.get("maxiter")
-                           or min(max(500, 10 * n), 200_000))
+                           or min(max(500, 10 * n), 8192))
         # chunk: fixed-trip CG iterations per host round trip. Each chunk
         # sync over the tunneled TPU costs ~20 ms; converged iterations
         # inside a chunk self-deactivate (the `active` mask), so a larger
@@ -133,6 +141,7 @@ class HostloopPrograms:
         # Adaptive: raised toward an observed stall, relaxed slowly when
         # solves beat it with room to spare.
         self.inner_attain = float(opts.get("inner_attain", 1.5e-7))
+        self._attain_explicit = "inner_attain" in opts
         # quality bar for the loud warning (the north-star accuracy bar;
         # tol itself may sit below the f64 floor by design)
         self.warn_rel = float(opts.get("warn_rel", 1e-8))
@@ -258,8 +267,16 @@ class HostloopPrograms:
         self._chunk_plain_of = chunk_plain_of
         self._chunk_df_of = chunk_df_of
         # per-call-site converged-iteration history (EWMA), keyed by the
-        # caller's est_key — drives the chunk-size schedule
+        # caller's est_key — drives the chunk-size schedule. Both the
+        # history and the adapted inner_attain PERSIST on disk per problem
+        # (utils/diskcache): without this, every fresh process re-pays the
+        # cold-start burn discovering the attainable accuracy and the
+        # right chunk sizes — at 988k dofs that discovery costs minutes of
+        # 12.7 s chunks, and the driver benchmark runs in a fresh process
+        # by design (bench.py child isolation).
         self._est = {}
+        self._telem_key = f"{pde.n_dofs}|{int(np.sum(pde.free_mask))}"
+        self._load_telemetry()
 
         @jax.jit
         def res0(params):
@@ -375,6 +392,35 @@ class HostloopPrograms:
             if s < self.chunk and est <= 0.85 * s:
                 return s
         return self.chunk
+
+    def _load_telemetry(self):
+        """Seed inner_attain and the converged-iteration history from the
+        setup disk cache (keyed per problem: n_dofs + free-dof count).
+        Best-effort performance hints only — every value they influence is
+        verified against measured truth by the solve/refinement loops, so
+        a stale or colliding entry costs iterations, never accuracy."""
+        from ..utils import diskcache
+
+        rec = diskcache.load("hloop", self._telem_key)
+        if not rec or len(rec) != 3:
+            return
+        try:
+            if not self._attain_explicit:
+                self.inner_attain = float(rec[0])
+            keys, vals = rec[1], rec[2]
+            self._est = {str(k): int(v) for k, v in zip(keys, vals)}
+        except Exception:
+            self._est = {}
+
+    def _store_telemetry(self):
+        from ..utils import diskcache
+
+        ks = list(self._est.keys())
+        diskcache.store("hloop", self._telem_key, [
+            np.asarray(self.inner_attain),
+            np.asarray(ks, dtype=np.str_),
+            np.asarray([self._est[k] for k in ks], dtype=np.int64),
+        ])
 
     def vjp_params(self, params, u, lam):
         """-(dR/dparams)^T lam. Affine path: evaluated on the host CPU
@@ -510,11 +556,21 @@ class HostloopPrograms:
                     size = self.chunk
                 first_chunk = False
                 run = self._chunk_prog(size, use_df)
+                chunk_prev = resnorm
                 x, r, z, p, rz, rn, na = run(params, u, ops_Ae, M_state,
                                              x, r, z, p, rz, target)
                 resnorm = float(rn)
                 it += size
                 act += int(na)
+                if resnorm > 0.9 * chunk_prev:
+                    # the RECURRENCE residual gained <10% over a whole
+                    # chunk: it has hit the floating-point floor of this
+                    # Krylov space (df dot-product saturation makes it
+                    # plateau ABOVE target forever — at 988k dofs this
+                    # burned 94 x 12.7 s chunks before any truth check).
+                    # Hand progress to the verification/restart logic and
+                    # the outer refinement, which measure real truth.
+                    break
             x64 = df_to_f64(x) if use_df else x
             if ri == 0 and resnorm <= float(target):
                 # recurrence converged without needing a restart: skip the
@@ -558,6 +614,7 @@ class HostloopPrograms:
         # solves count their full budget, pushing the estimate back up)
         prev_est = self._est.get(ek)
         self._est[ek] = act if prev_est is None else (prev_est + act + 1) // 2
+        self._store_telemetry()
         if _TRACE:
             log(f"hostloop solve{label}: it={it} act={act} "
                 + " ".join(f"{i}:{rn / bnorm:.1e}" for i, rn in trail)

@@ -158,5 +158,43 @@ def test_hostloop_under_jit_falls_back_to_fused():
     assert np.allclose(np.asarray(g), np.asarray(g2), rtol=1e-9, atol=1e-14)
 
 
+def test_solver_telemetry_persists_and_maxiter_bounded(tmp_path):
+    """Cold-start economics: (a) the adapted inner_attain and the
+    converged-iteration history survive process boundaries via the setup
+    disk cache (the driver bench runs in fresh children by design), and
+    (b) the default iteration ceiling is a bounded backstop — the old
+    min(10*n, 200k) default let one stalled 988k-dof solve burn ~5.5 h of
+    128-trip chunks before giving up."""
+    from femo_alpha_tpu.adjoint.hostloop import HostloopPrograms
+
+    m = _build("hostloop")
+    pde = m.fea.states["disp_solid"].pde
+    hl = pde._hostloop
+    assert hl.maxiter <= 8192
+
+    # simulate an adapted state, persist, and reload through a fresh object
+    hl.inner_attain = 3.3e-6
+    hl._est = {"fwd0": 24, "adj1": 7}
+    hl._store_telemetry()
+    fresh = object.__new__(HostloopPrograms)
+    fresh._telem_key = hl._telem_key
+    fresh._attain_explicit = False
+    fresh.inner_attain = 1.5e-7
+    fresh._est = {}
+    fresh._load_telemetry()
+    assert fresh.inner_attain == pytest.approx(3.3e-6)
+    assert fresh._est == {"fwd0": 24, "adj1": 7}
+
+    # an explicit user inner_attain wins over the persisted adaptation
+    expl = object.__new__(HostloopPrograms)
+    expl._telem_key = hl._telem_key
+    expl._attain_explicit = True
+    expl.inner_attain = 9.9e-9
+    expl._est = {}
+    expl._load_telemetry()
+    assert expl.inner_attain == pytest.approx(9.9e-9)
+    assert expl._est == {"fwd0": 24, "adj1": 7}
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])
