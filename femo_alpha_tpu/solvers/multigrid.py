@@ -90,6 +90,43 @@ def _sl(G, axis, start, stop=None, stride=1):
     return G[tuple(idx)]
 
 
+def _pad1(a, axis, before, after):
+    widths = [(0, 0)] * a.ndim
+    widths[axis] = (before, after)
+    return jnp.pad(a, widths)
+
+
+def _restrict_axis(G, axis, degree):
+    """Machine-exact adjoint of `_prolong_axis` along `axis`, written as
+    EXPLICIT strided slices + pads (not jax.linear_transpose: the
+    transposed interleave program MISCOMPILES on TPU in f32 at large
+    shapes — measured rel error 0.88 vs f64 at the 988k-dof hierarchy's
+    top two levels, which made the V-cycle asymmetric/indefinite and the
+    round-4 scale solve diverge to rel_res 1.0; the f64 path lowers
+    differently and was exact).
+
+    degree 1: fine grid 2n+1 -> coarse n+1
+      a[i] = g[2i] + 0.5 g[2i-1] + 0.5 g[2i+1]           (boundary-clipped)
+    degree 2: fine combined grid 4n+1 -> coarse combined 2n+1
+      V[i] = g[4i] + 0.375 g[4i+1] - 0.125 g[4i-3]
+                   - 0.125 g[4i+3] + 0.375 g[4i-1]       (boundary-clipped)
+      M[i] = g[4i+2] + 0.75 (g[4i+1] + g[4i+3])
+    """
+    if degree == 1:
+        even = _sl(G, axis, 0, None, 2)   # (n+1)
+        odd = _sl(G, axis, 1, None, 2)    # (n)
+        half = 0.5 * odd
+        return even + _pad1(half, axis, 0, 1) + _pad1(half, axis, 1, 0)
+    g0 = _sl(G, axis, 0, None, 4)         # (n+1) vertex rows (incl. tail)
+    g1 = _sl(G, axis, 1, None, 4)         # (n) xi=1/4 rows
+    g2 = _sl(G, axis, 2, None, 4)         # (n) midpoint rows
+    g3 = _sl(G, axis, 3, None, 4)         # (n) xi=3/4 rows
+    V = (g0 + _pad1(0.375 * g1 - 0.125 * g3, axis, 0, 1)
+         + _pad1(-0.125 * g1 + 0.375 * g3, axis, 1, 0))
+    M = g2 + 0.75 * (g1 + g3)
+    return _ileave(V, M, axis)
+
+
 def _prolong_axis(G, axis, degree):
     """1D factor-2 prolongation along `axis` of a combined dof grid.
 
@@ -135,6 +172,12 @@ class StructuredTransfer:
         assert self.degree in (1, 2)
         self.n_c = space_c.n_dofs
         self.n_f = space_f.n_dofs
+        # jitted entry points: eager multi-op dispatch of this slice/pad
+        # mix corrupts the heap on the forced multi-device CPU backend
+        # (jax 0.9.0 — see spaces.space._structured_layout); under an
+        # ambient jit trace these inline like plain calls
+        self.prolong = jax.jit(self._prolong_impl)
+        self.restrict = jax.jit(self._restrict_impl)
 
     # ---- combined-grid pack/unpack (degree 2); degree 1 is just vertices
     def _pack(self, x, nx, ny):
@@ -162,17 +205,22 @@ class StructuredTransfer:
         return jnp.concatenate(
             [V.reshape(-1), EX.reshape(-1), EY.reshape(-1), C.reshape(-1)])
 
-    def prolong(self, xc):
+    def _prolong_impl(self, xc):
         G = self._pack(xc, self.nxc, self.nyc)
         G = _prolong_axis(G, 0, self.degree)
         G = _prolong_axis(G, 1, self.degree)
         return self._unpack(G, self.nxf, self.nyf)
 
-    def restrict(self, rf):
-        # built per call: the transposed jaxpr may capture trace-local
-        # constants, so caching it across jit traces leaks tracers
-        proto = jax.ShapeDtypeStruct((self.n_c,), rf.dtype)
-        return jax.linear_transpose(self.prolong, proto)(rf)[0]
+    def _restrict_impl(self, rf):
+        # explicit adjoint, NOT jax.linear_transpose: the transposed
+        # interleave program miscompiles on TPU f32 at large grids (see
+        # _restrict_axis docstring); the explicit form is the exact
+        # adjoint by construction (tests/test_multigrid.py checks it
+        # against linear_transpose on CPU)
+        G = self._pack(rf, self.nxf, self.nyf)
+        G = _restrict_axis(G, 1, self.degree)
+        G = _restrict_axis(G, 0, self.degree)
+        return self._unpack(G, self.nxc, self.nyc)
 
 
 def make_space_transfer(space_c, space_f):
@@ -393,24 +441,85 @@ def apply_schwarz_T(W, inv_T, sqrt_w_T, v):
 
 
 def estimate_lmax(matvec, Minv, n, dtype, iters=25):
-    """Power iteration for lambda_max(M^{-1} A) (SPD pair): runs at setup
-    inside jit; deterministic start vector (no RNG inside compiled code)."""
-    x = jnp.sin(jnp.arange(1, n + 1, dtype=dtype) * 0.7) + 0.01
+    """lambda_max(M^{-1} A) estimate for an SPD (A, M) pair via the
+    CG-Lanczos connection: run `iters` preconditioned-CG steps on a
+    deterministic RHS, build the Lanczos tridiagonal from the CG
+    alpha/beta coefficients, and take its largest Ritz value.
 
-    def body(_, x):
-        y = Minv(matvec(x))
-        return y / jnp.linalg.norm(y)
+    Replaces plain power iteration (round-4 scale failure): the power
+    method converges like (lambda_2/lambda_1)^k, and on a 988k-dof shell
+    operator the top of the block-Jacobi-preconditioned spectrum is
+    clustered enough that 25 iterations underestimated lambda_max — a
+    degree-6 Chebyshev smoother amplifies modes ABOVE its interval by
+    cosh(6*arccosh(l/lmax)) per sweep (~12x at a 20% underestimate),
+    making the V-cycle indefinite and PCG diverge with rel_res 1.0.
+    Lanczos Ritz values converge to the extreme eigenvalues in O(sqrt)
+    of the power-method count; the remaining (small) underestimate is
+    covered by the Chebyshev safety margin (chebyshev_smooth).
 
-    x = jax.lax.fori_loop(0, iters, body, x)
-    y = Minv(matvec(x))
-    return jnp.vdot(x, y) / jnp.vdot(x, x)
+    Runs inside jit: fixed trip count, deterministic start vector (no RNG
+    in compiled code), breakdown-guarded (a converged/lucky CG keeps the
+    last valid coefficients)."""
+    b = jnp.sin(jnp.arange(1, n + 1, dtype=dtype) * 0.7) + 0.01
+    x = jnp.zeros_like(b)
+    r = b
+    z = Minv(r)
+    p = z
+    rz = jnp.vdot(r, z)
+    alphas = jnp.zeros((iters,), dtype=dtype)
+    betas = jnp.zeros((iters,), dtype=dtype)
+    live = jnp.zeros((iters,), dtype=dtype)
+
+    def body(k, st):
+        x, r, z, p, rz, alphas, betas, live = st
+        Ap = matvec(p)
+        pAp = jnp.vdot(p, Ap)
+        ok = (pAp > 0) & (rz > 0)
+        alpha = jnp.where(ok, rz / jnp.where(pAp != 0, pAp, 1.0), 0.0)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = Minv(r)
+        rz_new = jnp.vdot(r, z)
+        beta = jnp.where(ok, rz_new / jnp.where(rz != 0, rz, 1.0), 0.0)
+        p = z + beta * p
+        alphas = alphas.at[k].set(jnp.where(ok, alpha, 1.0))
+        betas = betas.at[k].set(beta)
+        live = live.at[k].set(ok.astype(dtype))
+        return (x, r, z, p, jnp.where(ok, rz_new, rz), alphas, betas, live)
+
+    _, _, _, _, _, alphas, betas, live = jax.lax.fori_loop(
+        0, iters, body, (x, r, z, p, rz, alphas, betas, live))
+    # Lanczos tridiagonal from CG coefficients:
+    #   T[k,k]   = 1/alpha_k + beta_{k-1}/alpha_{k-1}
+    #   T[k,k+1] = sqrt(beta_k)/alpha_k
+    inv_a = live / jnp.where(alphas != 0, alphas, 1.0)
+    prev = jnp.concatenate([jnp.zeros((1,), dtype),
+                            betas[:-1] * inv_a[:-1]])
+    diag = inv_a + prev
+    off = jnp.sqrt(jnp.maximum(betas, 0.0)) * inv_a * live
+    T = (jnp.diag(diag) + jnp.diag(off[:-1], 1) + jnp.diag(off[:-1], -1))
+    # TPU: f64 Eigh is not implemented; the estimate only needs a few
+    # digits, f32 is plenty
+    if T.dtype == jnp.float64 and jax.default_backend() == "tpu":
+        T = T.astype(jnp.float32)
+    lmax = jnp.max(jnp.linalg.eigvalsh(T)).astype(dtype)
+    # degenerate guard (all-dead iterations): fall back to 2.0, the upper
+    # bound for a convergent smoother target
+    return jnp.where(lmax > 0, lmax, jnp.asarray(2.0, dtype))
 
 
 def chebyshev_smooth(matvec, Minv, lmax, b, x, degree=2, lmin_ratio=0.25):
     """Preconditioned Chebyshev iteration targeting [lmin_ratio*lmax, lmax]
     (the hypre/MueLu smoothing recipe): symmetric, divergence-free for any
-    SPD pair, and every step is one matvec + one block solve."""
-    lmax = lmax * 1.05
+    SPD pair, and every step is one matvec + one block solve.
+
+    Safety margin 1.10 over the lambda_max ESTIMATE: Ritz/power estimates
+    approach lambda_max from BELOW, and a high-degree Chebyshev polynomial
+    amplifies eigenmodes above its interval explosively (round-4: a ~25%
+    underestimate at 988k dofs made the V-cycle indefinite -> PCG returned
+    rel_res 1.0). 10% of interval width costs a few percent smoothing
+    efficiency; an underestimate costs the whole solve."""
+    lmax = lmax * 1.10
     lmin = lmax * lmin_ratio
     theta = 0.5 * (lmax + lmin)
     delta = 0.5 * (lmax - lmin)

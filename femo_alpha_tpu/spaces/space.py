@@ -48,7 +48,16 @@ def _build_scalar_dofmap(mesh: Mesh, elem):
 def _structured_layout(mesh, family, degree, vs):
     """Slice-based gather / pad-based scatter closures for grid-ordered dofs
     on a StructuredQuadMesh (see mesh/structured.py). Returns None when the
-    (family, degree) pair has no structured specialization."""
+    (family, degree) pair has no structured specialization.
+
+    Every closure is returned JITTED: besides being faster for eager
+    callers (tests, host-side setup), jax 0.9.0's EAGER dispatch on the
+    forced multi-device CPU backend (--xla_force_host_platform_device_count)
+    corrupts the heap on exactly this pad/stack/moveaxis op mix (minimal
+    repro: glibc 'malloc(): invalid size' after a few hundred dispatches;
+    the jitted path is clean) — the test suite runs on an 8-device CPU
+    mesh by contract, so eager execution of these closures is a crash."""
+    import jax
     import jax.numpy as jnp
 
     nx, ny = mesh.nx, mesh.ny
@@ -83,7 +92,21 @@ def _structured_layout(mesh, family, degree, vs):
             G = jnp.stack(parts_p1(x), axis=0)  # (4, nx, ny, vs)
             return jnp.moveaxis(G, 3, 1).reshape(4 * vs, nc)
 
-        return gather, scatter, gather_T
+        def scatter_T(cvT):
+            # explicit adjoint of gather_T (NOT jax.linear_transpose: the
+            # transposed slice/stack program miscompiles on TPU f32 at
+            # large grids — see solvers.multigrid._restrict_axis)
+            g = jnp.moveaxis(cvT.reshape(4, vs, nx, ny), 1, 3)
+            V = (
+                pad(g[0], (0, 1), (0, 1))
+                + pad(g[1], (1, 0), (0, 1))
+                + pad(g[2], (1, 0), (1, 0))
+                + pad(g[3], (0, 1), (1, 0))
+            )
+            return V.reshape(-1)
+
+        return (jax.jit(gather), jax.jit(scatter),
+                jax.jit(gather_T), jax.jit(scatter_T))
 
     if family in ("P", "CG", "Lagrange", "Q") and degree == 2:
 
@@ -124,7 +147,24 @@ def _structured_layout(mesh, family, degree, vs):
             G = jnp.stack(parts_p2(x), axis=0)  # (9, nx, ny, vs)
             return jnp.moveaxis(G, 3, 1).reshape(9 * vs, nc)
 
-        return gather, scatter, gather_T
+        def scatter_T(cvT):
+            # explicit adjoint of gather_T (see P1 scatter_T note)
+            g = jnp.moveaxis(cvT.reshape(9, vs, nx, ny), 1, 3)
+            V = (
+                pad(g[0], (0, 1), (0, 1))
+                + pad(g[1], (1, 0), (0, 1))
+                + pad(g[2], (1, 0), (1, 0))
+                + pad(g[3], (0, 1), (1, 0))
+            )
+            EX = pad(g[4], (0, 0), (0, 1)) + pad(g[6], (0, 0), (1, 0))
+            EY = pad(g[5], (1, 0), (0, 0)) + pad(g[7], (0, 1), (0, 0))
+            C = g[8]
+            return jnp.concatenate(
+                [V.reshape(-1), EX.reshape(-1), EY.reshape(-1), C.reshape(-1)]
+            )
+
+        return (jax.jit(gather), jax.jit(scatter),
+                jax.jit(gather_T), jax.jit(scatter_T))
 
     if family == "DG" and degree in (0, 1):
         nd = 1 if degree == 0 else 4
@@ -138,7 +178,11 @@ def _structured_layout(mesh, family, degree, vs):
         def gather_T(x):
             return x.reshape(nc, nd * vs).T
 
-        return gather, scatter, gather_T
+        def scatter_T(cvT):
+            return cvT.T.reshape(-1)
+
+        return (jax.jit(gather), jax.jit(scatter),
+                jax.jit(gather_T), jax.jit(scatter_T))
 
     return None
 
@@ -208,14 +252,15 @@ class FunctionSpace:
     def scatter_add_T(self, cell_vals_T):
         """(nd_local, nc) -> (n_dofs,) scatter-add (lane-major).
 
-        Machine-exact adjoint of gather_T (structured path derives it with
-        jax.linear_transpose, like solvers.multigrid.StructuredTransfer)."""
-        if self._layout is not None and len(self._layout) > 2:
-            import jax
-
-            proto = jax.ShapeDtypeStruct((self.n_dofs,), cell_vals_T.dtype)
-            return jax.linear_transpose(self._layout[2], proto)(
-                cell_vals_T)[0]
+        Machine-exact adjoint of gather_T, written EXPLICITLY in the
+        structured layout (pad-adds mirroring `scatter`). It was
+        previously derived with jax.linear_transpose, but the transposed
+        slice/stack program MISCOMPILES on TPU f32 at large grids
+        (~0.9 rel error at the 988k hierarchy's 248k-dof level) — the
+        root cause of the round-4 scale-point divergence; see
+        solvers.multigrid._restrict_axis."""
+        if self._layout is not None and len(self._layout) > 3:
+            return self._layout[3](cell_vals_T)
         return self.scatter_add(cell_vals_T.T)
 
     # ------------------------------------------------------------- coords
