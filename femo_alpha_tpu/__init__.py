@@ -64,14 +64,24 @@ if _os.environ.get("FEMO_COMPILE_CACHE", "1") != "0":
         import hashlib as _hashlib
 
         def _machine_fingerprint():
+            # microcode + bugs lines matter as much as the flags: LLVM's
+            # CPU autodetect flips tuning features (prefer-no-scatter/
+            # gather — the GDS-mitigation heuristics) based on microcode,
+            # and a cross-host AOT entry whose target features disagree
+            # with the executing host produced heap corruption and
+            # wrong numerics (measured 2026-08-21: a cached eager op
+            # returned 1.3e+223 where the fresh compile was exact)
             feats = [_jax.__version__]
             try:
                 with open("/proc/cpuinfo") as _f:
                     for _line in _f:
-                        if _line.startswith(("model name", "flags")):
+                        if _line.startswith(("model name", "flags",
+                                             "microcode", "bugs",
+                                             "cpu family", "model\t",
+                                             "stepping")):
                             feats.append(_line.strip())
-                            if len(feats) >= 3:
-                                break
+                        if _line.strip() == "" and len(feats) > 1:
+                            break  # first CPU block only
             except OSError:
                 pass
             return _hashlib.sha1("|".join(feats).encode()).hexdigest()[:16]

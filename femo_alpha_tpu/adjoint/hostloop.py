@@ -275,8 +275,15 @@ class HostloopPrograms:
         # 12.7 s chunks, and the driver benchmark runs in a fresh process
         # by design (bench.py child isolation).
         self._est = {}
-        self._telem_key = f"{pde.n_dofs}|{int(np.sum(pde.free_mask))}"
+        self._telem_key = self._problem_content_key()
+        # consecutive-stall counter: one transient stall (cold caches, a
+        # warm start gone bad) must not persist a loosened inner_attain
+        self._attain_raises = 0
         self._load_telemetry()
+        # the value that goes to disk: raises are persisted only after 2+
+        # consecutive stalled solves confirm a real attainability floor;
+        # relaxations persist immediately
+        self._attain_persist = self.inner_attain
 
         @jax.jit
         def res0(params):
@@ -393,12 +400,35 @@ class HostloopPrograms:
                 return s
         return self.chunk
 
+    def _problem_content_key(self):
+        """Telemetry cache key: a CONTENT hash of the constrained problem
+        (free/BC layout + the operator's dof geometry when reachable), not
+        just its size — unrelated problems with equal dof counts must not
+        share an adapted inner_attain across processes (advisor r4)."""
+        import hashlib
+
+        pde = self.pde
+        h = hashlib.sha1(f"{pde.n_dofs}|{pde.newton_iters}".encode())
+        for arr in (pde.free_mask, pde.bc_vals):
+            h.update(np.asarray(arr, dtype=np.float64).tobytes())
+        mesh = getattr(getattr(pde.form, "space", None), "mesh", None)
+        nodes = getattr(mesh, "nodes", None)
+        if nodes is not None:
+            h.update(np.asarray(nodes, dtype=np.float64).tobytes())
+        return h.hexdigest()[:20]
+
+    # decay applied to a PERSISTED inner_attain on load: a spurious raise
+    # washes out over a few processes (each re-load halves the excess over
+    # the default), while a real attainability floor re-raises itself on
+    # the first stalled solve of the new process
+    _ATTAIN_LOAD_DECAY = 0.5
+
     def _load_telemetry(self):
         """Seed inner_attain and the converged-iteration history from the
-        setup disk cache (keyed per problem: n_dofs + free-dof count).
+        setup disk cache (content-keyed per problem, _problem_content_key).
         Best-effort performance hints only — every value they influence is
         verified against measured truth by the solve/refinement loops, so
-        a stale or colliding entry costs iterations, never accuracy."""
+        a stale entry costs iterations, never accuracy."""
         from ..utils import diskcache
 
         rec = diskcache.load("hloop", self._telem_key)
@@ -406,7 +436,10 @@ class HostloopPrograms:
             return
         try:
             if not self._attain_explicit:
-                self.inner_attain = float(rec[0])
+                stored = float(rec[0])
+                base = self.inner_attain
+                self.inner_attain = (base + self._ATTAIN_LOAD_DECAY
+                                     * max(stored - base, 0.0))
             keys, vals = rec[1], rec[2]
             self._est = {str(k): int(v) for k, v in zip(keys, vals)}
         except Exception:
@@ -417,7 +450,7 @@ class HostloopPrograms:
 
         ks = list(self._est.keys())
         diskcache.store("hloop", self._telem_key, [
-            np.asarray(self.inner_attain),
+            np.asarray(getattr(self, "_attain_persist", self.inner_attain)),
             np.asarray(ks, dtype=np.str_),
             np.asarray([self._est[k] for k in ks], dtype=np.int64),
         ])
@@ -447,12 +480,18 @@ class HostloopPrograms:
         import numpy as np
 
         leaves = jax.tree.leaves(params)
-        ids = tuple(map(id, leaves))
         cached = getattr(self, "_ph_cache", None)
-        if cached is not None and cached[0] == ids:
+        # the cache HOLDS the leaf objects (not just their ids): ids are
+        # only unique among live objects, and after an optimizer step the
+        # old leaves are GC'd and CPython reuses their addresses — an
+        # id()-keyed cache then serves the PREVIOUS design's parameters to
+        # the host truth programs (silently wrong residuals/gradients).
+        # Pinning the leaves makes `is`-comparison a sound content key.
+        if (cached is not None and len(cached[0]) == len(leaves)
+                and all(a is b for a, b in zip(cached[0], leaves))):
             return cached[1]
         ph = jax.tree.map(lambda a: np.asarray(a), params)
-        self._ph_cache = (ids, ph)
+        self._ph_cache = (list(leaves), ph)
         return ph
 
     def _host_res(self, params, u_np):
@@ -544,6 +583,8 @@ class HostloopPrograms:
                               for v in (x64, r64, z64, z64))
             else:
                 x, r, z, p = x64, r64, z64, z64
+            act_rs = 0  # ACTIVE iterations inside THIS Krylov space
+            stall_chunks = 0
             while resnorm > float(target) and it < self.maxiter:
                 if first_chunk:
                     size = self._pick_size(est)
@@ -562,15 +603,26 @@ class HostloopPrograms:
                 resnorm = float(rn)
                 it += size
                 act += int(na)
+                act_rs += int(na)
                 if resnorm > 0.9 * chunk_prev:
+                    stall_chunks += 1
                     # the RECURRENCE residual gained <10% over a whole
-                    # chunk: it has hit the floating-point floor of this
+                    # chunk: plausibly the floating-point floor of this
                     # Krylov space (df dot-product saturation makes it
                     # plateau ABOVE target forever — at 988k dofs this
                     # burned 94 x 12.7 s chunks before any truth check).
-                    # Hand progress to the verification/restart logic and
-                    # the outer refinement, which measure real truth.
-                    break
+                    # BUT a cold large solve can legitimately gain <10%
+                    # over a SMALL telemetry-seeded chunk while far from
+                    # its floor (round-4 verdict: this misdiagnosis is how
+                    # the 988k solve returned rel_res 1.0) — declaring a
+                    # floor needs a minimum of ACTIVE iterations in this
+                    # space AND two consecutive no-gain chunks. Then hand
+                    # progress to verification/restart + outer refinement,
+                    # which measure real truth.
+                    if act_rs >= 64 and stall_chunks >= 2:
+                        break
+                else:
+                    stall_chunks = 0
             x64 = df_to_f64(x) if use_df else x
             if ri == 0 and resnorm <= float(target):
                 # recurrence converged without needing a restart: skip the
@@ -605,16 +657,35 @@ class HostloopPrograms:
         rel = resnorm / bnorm
         # adapt the per-solve attainable estimate to observed behavior:
         # a stall above target raises it (stop chasing next time); a solve
-        # that beats it with >3x headroom relaxes it gradually
+        # that beats it with >3x headroom relaxes it gradually. A raise is
+        # only a trustworthy attainability signal when the solve actually
+        # BURNED iterations discovering the floor (a maxiter/transient
+        # exit mid-progress says nothing about attainability), and it is
+        # only PERSISTED after two consecutive stalled solves confirm it
+        # (advisor r4: the one-way ratchet loosened targets ~20x for any
+        # same-size problem, permanently).
         if rel > 1.25 * float(target) / bnorm:
-            self.inner_attain = min(max(self.inner_attain, 0.7 * rel), 1e-5)
+            if act >= 64 and it < self.maxiter:
+                raised = min(max(self.inner_attain, 0.7 * rel), 1e-5)
+                if raised > self.inner_attain:
+                    self._attain_raises += 1
+                self.inner_attain = raised
         elif rel < 0.3 * self.inner_attain:
             self.inner_attain = max(0.7 * self.inner_attain, 1e-9)
+            self._attain_raises = 0
+        if (self.inner_attain <= self._attain_persist
+                or self._attain_raises >= 2):
+            self._attain_persist = self.inner_attain
         # converged-iteration history for the chunk-size schedule (stalled
         # solves count their full budget, pushing the estimate back up)
         prev_est = self._est.get(ek)
         self._est[ek] = act if prev_est is None else (prev_est + act + 1) // 2
         self._store_telemetry()
+        # residual trail observability (round-4 verdict: nothing logged the
+        # trail at scale, so the rel_res-1.0 failure mode was invisible):
+        # last trail per call site, read by benchmarks/bench.py
+        self.last_stats[f"trail_{ek}"] = [
+            (int(i), float(f"{rn / bnorm:.3e}")) for i, rn in trail]
         if _TRACE:
             log(f"hostloop solve{label}: it={it} act={act} "
                 + " ".join(f"{i}:{rn / bnorm:.1e}" for i, rn in trail)

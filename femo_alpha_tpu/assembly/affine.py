@@ -417,17 +417,33 @@ class CachedAffineAssembler:
         import jax
         import jax.numpy as jnp
 
+        # validate against the EXPECTED basis geometry before accepting: a
+        # loadable-but-wrong-shaped entry would bypass verify() (cache hits
+        # skip it) and surface later as shape errors deep inside a solve —
+        # or worse, combine into a wrong operator (advisor r4)
+        mesh = self.form.space.mesh
+        nc = int(mesh.n_cells)
+        nd = int(np.asarray(self.form.space.dofmap_d).shape[1])
+        K = len(self.powers)
+        expected = ((K, nc, nd, nd) if self.layout == "cells"
+                    else (K, nd, nd, nc))
+        want_n = 2 if self.storage == "df" else 1
+        if len(arrs) != want_n or any(
+                tuple(a.shape) != expected for a in arrs):
+            return None
+        if self.storage == "df" and any(
+                a.dtype != np.float32 for a in arrs):
+            return None
+        import jax
+        import jax.numpy as jnp
+
         # prepare() may run under an ambient trace (compile_pipeline's
         # eval_shape warm); the loaded basis must be a REAL array, not a
         # trace constant — cached tracers leak out of the host-side cache
         with jax.ensure_compile_time_eval():
             if self.storage == "df":
-                if len(arrs) != 2:
-                    return None
                 basis = DF(jnp.asarray(arrs[0]), jnp.asarray(arrs[1]))
             else:
-                if len(arrs) != 1:
-                    return None
                 basis = jnp.asarray(arrs[0])
         aff = object.__new__(AffineDesignOperator)
         aff.form, aff.key, aff.powers = self.form, self.key, \
@@ -435,7 +451,7 @@ class CachedAffineAssembler:
         aff.layout = self.layout
         aff.storage = self.storage
         aff.basis = basis
-        aff.nc = self.form.space.mesh.n_cells
+        aff.nc = nc
         return aff
 
     def _disk_store(self, ck, aff):

@@ -665,12 +665,20 @@ class LibraryBench:
         sync(outs)
         assembly_s = (time.time() - t0) / reps
         hs = getattr(getattr(op, "_hostloop", None), "last_stats", {}) or {}
+        import json as _json
+
         return dict(
             wall_s=float(np.median(times)),
             compile_s=float(compile_s),
             n_dofs=int(self.n_dofs),
             iters_fwd=int(hs.get("fwd_iters", -1)),
             iters_adj=int(hs.get("adj_iters", -1)),
+            # full solver telemetry (passes, per-stage rel, residual
+            # trails) as a JSON string: survives the child-process
+            # int/float/str filter in bench.py, so scale-point failures
+            # are diagnosable from the bench stderr/JSON alone (round-4
+            # verdict: the rel_res-1.0 failure mode was invisible)
+            solver_stats=_json.dumps(hs, default=str),
             res_fwd=rel, res_adj=rel,
             res_floor=float(res_floor),
             tip=tip,

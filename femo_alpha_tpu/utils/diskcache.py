@@ -25,12 +25,32 @@ import os
 
 import numpy as np
 
-_CODE_FP = None
+_CODE_FP = {}
+
+# Which source subtrees determine each artifact kind's VALUES. A whole-tree
+# fingerprint invalidates ~10 GB of host-assembled bases for an edit to
+# bench.py or a solver loop that cannot change them (round 4: every solver
+# tweak re-paid minutes of 1-core 988k-dof basis assembly). Content hashes
+# (not mtimes): touching a file without changing it keeps the cache warm.
+# Kinds not listed fall back to the whole tree.
+_KIND_DIRS = {
+    # affine design bases / facet operator blocks: produced by the
+    # element/assembly/form stack
+    "affine": ("assembly", "elements", "mesh", "spaces", "models", "fea",
+               "solvers/dfloat.py", "config.py", "__init__.py"),
+    "facetops": ("assembly", "elements", "mesh", "spaces", "models", "fea",
+                 "solvers/dfloat.py", "config.py", "__init__.py"),
+    # hostloop telemetry: performance HINTS only (every influenced value is
+    # re-verified against measured truth) — version manually via _SCHEMA
+    "hloop": ("adjoint/hostloop.py",),
+}
 
 
-def _code_fingerprint() -> str:
-    global _CODE_FP
-    if _CODE_FP is None:
+def _code_fingerprint(kind: str = "") -> str:
+    scope = _KIND_DIRS.get(kind)
+    key = scope or "ALL"
+    fp = _CODE_FP.get(key)
+    if fp is None:
         root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         h = hashlib.sha1()
         for dirpath, dirnames, filenames in sorted(os.walk(root)):
@@ -39,14 +59,18 @@ def _code_fingerprint() -> str:
                 if not fn.endswith((".py", ".cpp", ".so")):
                     continue
                 p = os.path.join(dirpath, fn)
+                rel = os.path.relpath(p, root)
+                if scope is not None and not rel.startswith(scope):
+                    continue
                 try:
-                    st = os.stat(p)
+                    with open(p, "rb") as f:
+                        h.update(rel.encode())
+                        h.update(hashlib.sha1(f.read()).digest())
                 except OSError:
                     continue
-                h.update(f"{os.path.relpath(p, root)}:{st.st_size}:"
-                         f"{st.st_mtime_ns}".encode())
-        _CODE_FP = h.hexdigest()[:16]
-    return _CODE_FP
+        fp = h.hexdigest()[:16]
+        _CODE_FP[key] = fp
+    return fp
 
 
 def enabled() -> bool:
@@ -61,7 +85,7 @@ def _dir() -> str:
 
 def _path(kind: str, key: str) -> str:
     full = hashlib.sha1(
-        f"{kind}|{key}|{_code_fingerprint()}".encode()).hexdigest()
+        f"{kind}|{key}|{_code_fingerprint(kind)}".encode()).hexdigest()
     return os.path.join(_dir(), f"{kind}-{full}.npz")
 
 
