@@ -363,6 +363,16 @@ def main():
     # nodal comparison against a host-f64 direct solve.
     bar = float(os.environ.get("FEMO_BENCH_QUALITY_BAR", "1e-8"))
     worst = max(out["res_fwd"], out["res_adj"])
+
+    def floor_ok(rel, floor):
+        """The rel_res metric saturates at the residual-MEASUREMENT floor
+        eps*(|||A||u|+|b|||/||b||): a solve within 2x of that floor is
+        indistinguishable from a machine-precision direct solve on this
+        metric (the 988k SuperLU golden itself measures rel_res 6.5e-7
+        against a 1.9e-6 predicted floor — tests/data/golden_*.npz meta).
+        Only applies when the floor itself sits above the bar, and the
+        floor value is always reported alongside."""
+        return floor > bar and rel <= 2.0 * floor
     result = {
         "metric": f"rm_shell_fwd_adjoint_{out['n_dofs']}dofs_wall",
         "value": round(out["wall_s"], 4),
@@ -371,7 +381,9 @@ def main():
         "compile_s": round(out["compile_s"], 1),
         "rel_res": float(f"{worst:.2e}"),
         "res_floor": float(f"{out.get('res_floor', 0.0):.2e}"),
-        "quality": "OK" if worst <= bar else "FAIL",
+        "quality": ("OK" if worst <= bar
+                    or floor_ok(worst, out.get("res_floor", 0.0))
+                    else "FAIL"),
         "assembly_mdof_s": round(out.get("assembly_mdof_s", 0.0), 2),
         "workload": "warm-start optimizer-iteration (median of 3)",
     }
@@ -424,7 +436,9 @@ def main():
         # nodal agreement with the committed host-f64 direct golden
         # (tools/make_golden.py). An unconverged solve's wall clock is not
         # a speedup — no quality, no vs_baseline (round-4 verdict item 1).
-        sp["quality"] = "OK" if sc_rel <= bar else "FAIL"
+        sp["quality"] = ("OK" if sc_rel <= bar
+                         or floor_ok(sc_rel, sc.get("res_floor", 0.0))
+                         else "FAIL")
         if "nodal_err_vs_direct" in sc:
             sp["nodal_err_vs_direct"] = sc["nodal_err_vs_direct"]
             if sp["quality"] == "FAIL" and sc["nodal_err_vs_direct"] <= bar:
