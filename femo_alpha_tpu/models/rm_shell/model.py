@@ -201,6 +201,11 @@ class RMShellModel:
                 if "precond_factory" not in opts:
                     from ...solvers.band import band_precond_factory
 
+                    band_err = None
+                    import os as _osb
+
+                    mem_cap = float(_osb.environ.get(
+                        "FEMO_BAND_MEM_GB", "6")) * 1e9
                     try:
                         bf = band_precond_factory(
                             pde.W, residual_form, facet_forms,
@@ -208,17 +213,38 @@ class RMShellModel:
                         bc_ = bf.band
                         # memory guard: f64 assembly + f32 factor buffers
                         mem = bc_.n_pad * (bc_.m + 1) * bc_.w * 12
-                        if mem <= 6e9:
+                        if mem <= mem_cap:
                             opts["precond_factory"] = bf
                         else:
-                            log(
-                                f"band precond needs ~{mem / 1e9:.1f}GB "
-                                "(> 6GB guard); falling back to Jacobi-CG "
-                                "— expect slow/failed convergence on "
-                                "penalty-BC systems at this size")
+                            band_err = (f"needs ~{mem / 1e9:.1f}GB "
+                                        f"(> {mem_cap / 1e9:.0f}GB guard)")
                     except Exception as e:  # band setup is best-effort
-                        log(f"band precond unavailable ({e}); "
-                            "falling back to Jacobi-CG")
+                        band_err = str(e)
+                    if "precond_factory" not in opts:
+                        # band-infeasible fallback: nullspace-aggregation
+                        # AMG + penalty diagonal split (solvers/amg.py).
+                        # Not MUMPS-class on thin shells (the aggregate-RBM
+                        # coarse space is weak for inextensional bending)
+                        # but orders of magnitude stronger than the old
+                        # plain-Jacobi fallback (~3100 iters/solve).
+                        try:
+                            from ...solvers.amg import AMGPrecondFactory
+                            import jax as _jaxm
+
+                            sdt = (jnp.float32
+                                   if _jaxm.default_backend() == "tpu"
+                                   else None)
+                            opts["precond_factory"] = AMGPrecondFactory(
+                                pde.W, residual_form, facet_forms,
+                                free_mask=free_mask, dtype=sdt)
+                            log(f"band precond {band_err}; using "
+                                "aggregation-AMG fallback (expect more "
+                                "iterations than band on thin shells)")
+                        except Exception as e:
+                            log(f"band precond {band_err}; AMG fallback "
+                                f"unavailable ({e}); falling back to "
+                                "Jacobi-CG — expect slow/failed "
+                                "convergence at this size")
 
         for name in ["thickness", "F_solid", "E", "nu", "density", "uhat"]:
             space = {

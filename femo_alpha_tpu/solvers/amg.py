@@ -471,3 +471,61 @@ def build_penalty_split_precond(amg, cell_Ae, facet_ops, free_mask,
     diag_full = (diag + pen_diag) * free + (1.0 - free)
     return PenaltySplitAMG(amg, state, pen_mask * free, diag_full,
                            free_mask=free)
+
+
+class AMGPrecondFactory:
+    """Split-protocol adapter (ImplicitPDE staged path — same contract as
+    solvers.band.BandPrecond): two-level nullspace-aggregation AMG on the
+    elastic block + exact diagonal on the penalty block. Selected by
+    RMShellModel when the RCM band Cholesky is memory-infeasible
+    (models/rm_shell/model.py) — the fallback used to be plain Jacobi-CG,
+    which needs ~3100 iterations/solve on shell operators (round-4
+    verdict: a >100k-dof unstructured wing had no workable solver).
+
+    setup_state returns a pure PYTREE (AMG state + penalty-split arrays)
+    so the forward solve's preconditioner state flows through the
+    custom_vjp residuals to the adjoint solve, like every other
+    preconditioner on this path.
+    """
+
+    def __init__(self, space, form, facet_forms=(), free_mask=None,
+                 dtype=None, **amg_kw):
+        self.amg = AggregationAMG(form.space, free_mask=free_mask, **amg_kw)
+        n = form.space.n_dofs
+        self.free_mask = (np.ones(n) if free_mask is None
+                          else np.asarray(free_mask))
+        self.dtype = dtype
+        self._specs = [form.space] + [
+            g["dofmap_d"] for ff in facet_forms for g in ff.groups]
+
+    def prepare(self, params):
+        return ()
+
+    def setup_state(self, u, params, ops_Ae, aux):
+        cell_Ae = ops_Ae[0]
+        n = self.amg.space.n_dofs
+        facet_ops = list(zip(ops_Ae[1:], self._specs[1:]))
+        if facet_ops:
+            pen_mask, pen_diag = penalty_split(facet_ops, n)
+        else:
+            pen_mask = jnp.zeros(n, dtype=cell_Ae.dtype)
+            pen_diag = jnp.zeros(n, dtype=cell_Ae.dtype)
+        free = jnp.asarray(self.free_mask).astype(cell_Ae.dtype)
+        amg_mask = free * (1.0 - pen_mask)
+        st = self.amg.setup(cell_Ae, free_mask=amg_mask, dtype=self.dtype)
+        W = self.amg.space
+        diag = W.scatter_add(jnp.diagonal(cell_Ae, axis1=1, axis2=2))
+        diag_full = (diag + pen_diag) * free + (1.0 - free)
+        safe = jnp.where(diag_full != 0.0, diag_full, 1.0)
+        return {
+            "amg": st,
+            "pen_mask": pen_mask * free,
+            "pen_inv": (pen_mask * free) / safe,
+            "dead": 1.0 - free,
+        }
+
+    def apply_state(self, state, v):
+        pm = state["pen_mask"].astype(v.dtype)
+        y = self.amg.apply(state["amg"], (1.0 - pm) * v)
+        return ((1.0 - pm) * y + state["pen_inv"].astype(v.dtype) * v
+                + state["dead"].astype(v.dtype) * v)

@@ -94,3 +94,53 @@ def test_penalty_split_detects_root_dofs(shell_setup):
     ])
     ys = dof_y[np.asarray(pen_mask) > 0]
     assert np.abs(ys).max() < 1e-8
+
+
+def test_amg_fallback_selected_and_solves_wing(monkeypatch):
+    """When the band preconditioner trips the memory guard, RMShellModel
+    must select the aggregation-AMG fallback (round-4 verdict: the old
+    fallback was plain Jacobi, unusable on shells) and still reproduce the
+    band-path solution end-to-end on a small unstructured penalty wing."""
+    import jax
+    from femo_alpha_tpu.models import RMShellModel
+
+    def build():
+        m = createWingShellMesh(n_chord=10, n_span=24, rib_stations=(12,),
+                                shuffle_seed=3)
+        return m, RMShellModel(m, shell_bc_func=lambda x: x[:, 1] < 1e-9,
+                               element_wise_material=True)
+
+    def run(model, mesh):
+        nel, nn = mesh.n_cells, mesh.n_nodes
+        f = jnp.zeros(3 * nn).at[2::3].set(200.0)
+        E = jnp.full(nel, 4.32e8)
+        nu = jnp.zeros(nel)
+        rho = jnp.full(nel, 100.0)
+        th = jnp.full(nel, 0.2)
+
+        def J(t):
+            out = model.evaluate(f, t, E, nu, rho, is_pressure=True)
+            return out.compliance, out.disp_solid
+
+        (val, u), g = jax.value_and_grad(J, has_aux=True)(th)
+        return float(val), np.asarray(u), np.asarray(g)
+
+    mesh_b, model_b = build()
+    from femo_alpha_tpu.solvers.band import BandPrecond
+
+    assert isinstance(
+        model_b.fea.states["disp_solid"].pde._pc, BandPrecond)
+    J_b, u_b, g_b = run(model_b, mesh_b)
+
+    monkeypatch.setenv("FEMO_BAND_MEM_GB", "0.000001")
+    mesh_a, model_a = build()
+    from femo_alpha_tpu.solvers.amg import AMGPrecondFactory
+
+    assert isinstance(
+        model_a.fea.states["disp_solid"].pde._pc, AMGPrecondFactory), (
+        "memory guard did not select the AMG fallback")
+    J_a, u_a, g_a = run(model_a, mesh_a)
+
+    assert abs(J_a - J_b) < 1e-8 * abs(J_b)
+    assert np.linalg.norm(u_a - u_b) < 1e-7 * np.linalg.norm(u_b)
+    assert np.linalg.norm(g_a - g_b) < 1e-5 * np.linalg.norm(g_b)
