@@ -796,9 +796,27 @@ class HostloopPrograms:
         # problem scale: host-f64 residual at the BC-consistent zero state.
         # The residual VECTOR there is -(system load over free dofs): kept
         # for the adjoint's self-adjoint seed (solve_adjoint below).
-        r_uz, rz = self._host_res(params, self._uz_np)
-        scale = max(rz, 1e-300)
-        load_np = -np.asarray(r_uz, dtype=np.float64)
+        # Cached across design iterations when only the DESIGN field
+        # changed and the zero state is literally zero: the affine path's
+        # operator is A(theta)*u + loads(others), so r(0) = -loads(others)
+        # is design-independent — recomputing it cost one host round trip
+        # (~70 ms incl. sync) per optimizer iteration. Keyed by the
+        # identity of every non-design leaf (objects pinned in the cache).
+        dkey = getattr(pde.element_matrices_fn, "key", None)
+        rzc = getattr(self, "_rz_cache", None)
+        others = ([v for k, v in sorted(params.items()) if k != dkey]
+                  if dkey is not None else None)
+        if (rzc is not None and others is not None
+                and not self._uz_np.any()
+                and len(rzc[0]) == len(others)
+                and all(a is b for a, b in zip(rzc[0], others))):
+            scale, load_np = rzc[1], rzc[2]
+        else:
+            r_uz, rz = self._host_res(params, self._uz_np)
+            scale = max(rz, 1e-300)
+            load_np = -np.asarray(r_uz, dtype=np.float64)
+            if others is not None and not self._uz_np.any():
+                self._rz_cache = (list(others), scale, load_np)
         prev = None
         best = None
         k = 0
@@ -827,7 +845,12 @@ class HostloopPrograms:
                     f"host_floor={host_floor / scale:.2e} "
                     f"dev_floor={dev_floor / scale:.2e} "
                     f"fsc/scale={fsc / scale:.2e} stalled={stalled}")
-            if (rn <= max(self.tol * scale, host_floor) or k >= total
+            # exit margin 1.5x on the floor: a pass landing within 1.5x of
+            # the measurement floor cannot be improved by a distinguishable
+            # amount (the metric is cancellation noise there), and the
+            # marginal extra pass costs a start+chunk+truth round trip
+            # (~0.17 s/eval on the tunneled TPU)
+            if (rn <= max(self.tol * scale, 1.5 * host_floor) or k >= total
                     or (k >= 1 and stalled)):
                 break
             prev = rel
@@ -964,7 +987,11 @@ class HostloopPrograms:
             dev_floor = self.floor_c * self.eps_dev * fsc
             host_floor = self.floor_c * 2.0 ** -52 * fsc
             stalled = prev is not None and rel > 0.5 * prev
-            if (rn <= max(self.tol * bnorm, host_floor)
+            if _TRACE:
+                log(f"hostloop adj pass {k}: rel={rel:.2e} "
+                    f"host_floor={host_floor / bnorm:.2e} stalled={stalled}")
+            # 1.5x exit margin: see the forward loop
+            if (rn <= max(self.tol * bnorm, 1.5 * host_floor)
                     or k > self.refine_passes or stalled):
                 break
             prev = rel
