@@ -90,7 +90,14 @@ if _os.environ.get("FEMO_COMPILE_CACHE", "1") != "0":
             "jax_compilation_cache_dir",
             _os.path.join(_cache_root, _machine_fingerprint()),
         )
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        # persist EVERYTHING, including sub-0.5s tiny programs: the eager
+        # glue of one forward_adjoint compiles ~280 distinct tiny ops
+        # (broadcast/convert/multiply/...), each a ~0.2-0.5 s round trip
+        # on the tunneled backend — below the default 0.5 s persistence
+        # threshold, so every fresh process re-paid ~110 s of compiles
+        # that a disk hit serves in ~20 ms (measured 2026-08-21, 63k
+        # headline compile_s 120 s with all big programs already cached)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:  # older jax without these options
         pass

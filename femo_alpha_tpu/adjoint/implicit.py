@@ -377,6 +377,11 @@ class ImplicitPDE:
             # cache host-prepared aux only (an override aux may be a traced
             # pytree — storing it would leak tracers to later eager calls)
             self._aux_now = aux
+        from ..fea.pipeline import get_stage_stub
+
+        stub = get_stage_stub()
+        if stub is not None:
+            return stub(self, params, u0, aux)
         return self._solve(params, u0, aux)
 
 

@@ -36,6 +36,10 @@ import jax.numpy as jnp
 from .assemble import assemble_scalar
 from ..utils.offload import run_setup
 
+# id(QuadraticOutput) -> traced coefficient pytree, registered by staged
+# pipelines for the dynamic extent of their jitted programs (see __call__)
+_COEFF_OVERRIDE: dict = {}
+
 
 def _is_concrete(x):
     import jax.core
@@ -72,6 +76,8 @@ class QuadraticOutput:
     kernel path — always exact, like CachedAffineAssembler).
     """
 
+    _instances: list = []  # staged pipelines harvest coefficients from here
+
     def __init__(self, form, varying=(), verify=True, chunk=8192):
         self.form = form
         self.varying = tuple(varying)
@@ -84,6 +90,7 @@ class QuadraticOutput:
                     "param_specs (scalars cannot be gathered per cell)")
         self._cache_key = None
         self._coeffs = None
+        QuadraticOutput._instances.append(self)
 
     # ------------------------------------------------------------ build
     def _frozen_of(self, params):
@@ -190,10 +197,19 @@ class QuadraticOutput:
         fea/pipeline.py)."""
         from ..fea.model import _has_concrete_data
 
-        if not _has_concrete_data(u):
-            return assemble_scalar(self.form, u, params)
+        # staged pipelines (fea.pipeline.stage_value_and_grad) thread the
+        # coefficients through the jit boundary as runtime arguments and
+        # register them here — the fast path then applies under the trace
+        # too (the kernel-form fallback inside a traced program is exactly
+        # the giant-compile hazard the hostloop path exists to avoid)
+        ov = _COEFF_OVERRIDE.get(id(self))
+        if ov is not None:
+            return self.evaluate(ov, u, params)
+        # prepare() BEFORE the concrete-u check: it needs only the frozen
+        # params concrete, which holds even under an abstract warm trace
+        # (staged pipelines harvest the populated cache after warm)
         coeffs = self.prepare(params)
-        if coeffs is None:
+        if coeffs is None or not _has_concrete_data(u):
             return assemble_scalar(self.form, u, params)
         return self.evaluate(coeffs, u, params)
 

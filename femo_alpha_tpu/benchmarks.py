@@ -558,13 +558,16 @@ class LibraryBench:
                                       is_pressure=True)
             return out.compliance, out.disp_solid
 
-        # the documented fast path: the whole evaluate+grad pipeline as one
-        # persistent jitted program, aux (affine/MG bases) threaded as
-        # runtime args (fea/pipeline.py)
-        from .fea.pipeline import compile_pipeline
+        # the documented fast path: on the hostloop (TPU) path the
+        # evaluate+grad pipeline is staged into TWO persistent jitted
+        # programs around the host-driven solves (probe + postgrad,
+        # fea/pipeline.py stage_value_and_grad); elsewhere it is one fused
+        # jitted program (compile_pipeline fallback). Aux (affine/MG
+        # bases) and quadratic-output coefficients ride through the jit
+        # boundaries as runtime args either way.
+        from .fea.pipeline import stage_value_and_grad
 
-        self._vg = compile_pipeline(jax.value_and_grad(J, has_aux=True),
-                                    (self.th0,))
+        self._vg = stage_value_and_grad(J, (self.th0,), has_aux=True)
 
     def forward_adjoint(self, th):
         (val, u), g = self._vg(th)

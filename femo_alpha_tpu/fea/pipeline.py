@@ -117,3 +117,252 @@ def compile_pipeline(fn, example_args):
     threaded as runtime arguments. Returns a callable; see module
     docstring for the freeze/refresh contract."""
     return _CompiledPipeline(fn, tuple(example_args))
+
+
+# ---------------------------------------------------------------------------
+# staged value-and-grad for hostloop pipelines
+# ---------------------------------------------------------------------------
+#
+# On the hostloop execution path (adjoint/hostloop.py — the TPU product
+# path) a pipeline cannot be ONE jitted program: the solve's convergence
+# loop runs on the host. The former answer was to execute the pipeline
+# eagerly per call, but eager execution of the surrounding glue dispatches
+# ~280 DISTINCT tiny device programs per forward+grad (broadcasts,
+# converts, reductions of the output functionals and the eager AD
+# machinery). On the tunneled TPU backend every one of those remote-
+# compiles per process (~0.3-0.5 s each — measured 120 s first-eval
+# compile at 63k dofs with every BIG program already disk-cached: the
+# axon backend re-pays remote compilation per process) and costs a ~20 ms
+# dispatch round trip per call afterwards (~0.7 s/eval of pure glue).
+#
+# stage_value_and_grad compiles the SAME pipeline into exactly TWO jitted
+# programs around the host-driven solves:
+#
+#   probe(args, auxes, qcoeffs, u_filled) -> (params_k, u0_k) per solve
+#   postgrad(args, pg, gp, u, auxes, qcoeffs)
+#                                -> (J, aux_out, dJ/dargs, dJ/du_k)
+#
+# per call:  probe -> hostloop forward(s) -> postgrad (gp=0; yields J and
+# the solve cotangents g_k) -> hostloop adjoint(s) -> postgrad (real gp;
+# yields dJ/dargs).  The solve is stubbed inside the traced programs by a
+# custom_vjp whose forward returns the host-computed u_k and whose
+# backward injects the host-computed parameter cotangent gp_k while
+# exporting the incoming cotangent g_k through a zero-valued probe input
+# (the standard split-adjoint staging). Quadratic-output coefficients are
+# threaded as runtime arguments too (assembly/quadratic.py override) so
+# no per-cell kernel is ever traced into either program. Reference
+# counterpart: the csdl graph evaluates operation-by-operation around
+# MUMPS solves (state_operation.py); here the around-the-solve graph is
+# two XLA programs instead of hundreds of eager ops.
+
+_STAGE_STUBS: list = []
+
+
+def get_stage_stub():
+    """The innermost active solve stub (see stage_value_and_grad), or
+    None. Consulted by ImplicitPDE.solve."""
+    return _STAGE_STUBS[-1] if _STAGE_STUBS else None
+
+
+class _StubCtx:
+    def __init__(self, fn):
+        self.fn = fn
+
+    def __enter__(self):
+        _STAGE_STUBS.append(self.fn)
+
+    def __exit__(self, *exc):
+        _STAGE_STUBS.pop()
+
+
+def _zeros_like_tree(t):
+    import jax.numpy as jnp
+
+    return jax.tree.map(jnp.zeros_like, t)
+
+
+@jax.custom_vjp
+def _solve_stub(params, u0, u_k, gp_k, pg_k):
+    return u_k + pg_k  # pg_k is zeros; keeps pg in the dependency graph
+
+
+def _solve_stub_fwd(params, u0, u_k, gp_k, pg_k):
+    return u_k + pg_k, (gp_k,)
+
+
+def _solve_stub_bwd(res, g):
+    (gp_k,) = res
+    import jax.numpy as jnp
+
+    return (gp_k, jnp.zeros_like(g), jnp.zeros_like(g),
+            _zeros_like_tree(gp_k), g)
+
+
+_solve_stub.defvjp(_solve_stub_fwd, _solve_stub_bwd)
+
+
+class _StagedValueAndGrad:
+    """value_and_grad(J, has_aux=...) over a hostloop pipeline as two
+    persistent jitted programs + the host-driven solves. See module
+    comment above. Non-design parameters follow the compile_pipeline
+    freeze/refresh contract (aux/coefficients harvested at build time;
+    call `refresh` after changing one)."""
+
+    def __init__(self, J, example_args, has_aux=False):
+        import jax.numpy as jnp
+
+        self._J = J
+        self._has_aux = has_aux
+
+        # warm: collect hostloop PDE instances in CALL order (abstract
+        # trace — host-side aux and quadratic-coefficient builds run for
+        # real, zero device dispatch)
+        order = []
+
+        def order_stub(pde, params, u0, aux):
+            if pde not in order:
+                order.append(pde)
+            return jnp.zeros(pde.n_dofs)
+
+        with _StubCtx(order_stub):
+            try:
+                jax.eval_shape(J, *example_args)
+            except Exception:
+                J(*example_args)
+        self._pdes = [p for p in order
+                      if getattr(p, "_hostloop_enabled", False)]
+        if not self._pdes or len(self._pdes) != len(order):
+            raise NotImplementedError(
+                "stage_value_and_grad requires every solve on the hostloop "
+                "path; other pipelines should use compile_pipeline")
+        self._auxes = [p._aux_now for p in self._pdes]
+
+        from ..assembly.quadratic import QuadraticOutput, _COEFF_OVERRIDE
+
+        self._qos = [q for q in QuadraticOutput._instances
+                     if q._coeffs is not None]
+        self._qcoeffs = [q._coeffs for q in self._qos]
+        pdes = self._pdes
+        qos = self._qos
+
+        def _with_overrides(auxes, qcoeffs):
+            _AUX_OVERRIDE.update({id(p): a for p, a in zip(pdes, auxes)})
+            _COEFF_OVERRIDE.update(
+                {id(q): c for q, c in zip(qos, qcoeffs)})
+
+        def _clear_overrides():
+            for p in pdes:
+                _AUX_OVERRIDE.pop(id(p), None)
+            for q in qos:
+                _COEFF_OVERRIDE.pop(id(q), None)
+
+        @jax.jit
+        def probe(args, auxes, qcoeffs, u_filled):
+            _with_overrides(auxes, qcoeffs)
+            rec = []
+
+            def capture(pde, params, u0, aux):
+                k = len(rec)
+                rec.append((params, u0))
+                return u_filled[k]
+
+            try:
+                with _StubCtx(capture):
+                    J(*args)
+            finally:
+                _clear_overrides()
+            return rec
+
+        @jax.jit
+        def postgrad(args, pg_list, gp_list, u_list, auxes, qcoeffs):
+            _with_overrides(auxes, qcoeffs)
+
+            def run(args, pg_list):
+                counter = iter(range(len(pdes)))
+
+                def inject(pde, params, u0, aux):
+                    k = next(counter)
+                    return _solve_stub(params, u0, u_list[k],
+                                       gp_list[k], pg_list[k])
+
+                with _StubCtx(inject):
+                    return J(*args)
+
+            try:
+                if has_aux:
+                    val, vjp, aux_out = jax.vjp(run, args, pg_list,
+                                                has_aux=True)
+                else:
+                    val, vjp = jax.vjp(run, args, pg_list)
+                    aux_out = None
+                ga, gpg = vjp(jnp.ones_like(val))
+            finally:
+                _clear_overrides()
+            return val, aux_out, ga, gpg
+
+        self._probe = probe
+        self._postgrad = postgrad
+
+    def __call__(self, *args):
+        import jax.numpy as jnp
+
+        pdes = self._pdes
+        auxes = self._auxes
+        qc = self._qcoeffs
+        n = len(pdes)
+        u_list = [jnp.zeros(p.n_dofs) for p in pdes]
+        states = [None] * n
+        cap = None
+        # sequential probes: solve k's params may depend on earlier
+        # solves' solutions; one compiled probe program, re-run with the
+        # u's found so far (n == 1: a single run)
+        for k in range(n):
+            cap = self._probe(args, auxes, qc, u_list)
+            params_k, u0_k = cap[k]
+            u, st = pdes[k]._hostloop.forward(params_k, u0_k, auxes[k])
+            u_list[k] = u
+            states[k] = (params_k, st)
+        pg0 = [jnp.zeros_like(u) for u in u_list]
+        gp = [_zeros_like_tree(c[0]) for c in cap]
+        val, aux_out, _, g_list = self._postgrad(args, pg0, gp, u_list,
+                                                 auxes, qc)
+        # adjoint solves in reverse call order; for n > 1 the cotangent
+        # reaching solve k flows through LATER solves' gp, so re-evaluate
+        # the staged program as those fill in
+        for k in reversed(range(n)):
+            if n > 1 and k < n - 1:
+                _, _, _, g_list = self._postgrad(args, pg0, gp, u_list,
+                                                 auxes, qc)
+            params_k, (ops_Ae, M_state) = states[k]
+            hl = pdes[k]._hostloop
+            lam = hl.solve_adjoint(params_k, u_list[k], ops_Ae, M_state,
+                                   g_list[k])
+            gp[k] = hl.vjp_params(params_k, u_list[k], lam)
+        _, _, ga, _ = self._postgrad(args, pg0, gp, u_list, auxes, qc)
+        grad = ga[0] if len(ga) == 1 else ga
+        if self._has_aux:
+            return (val, aux_out), grad
+        return val, grad
+
+    def refresh(self, *args):
+        with _StubCtx(lambda pde, params, u0, aux: __import__(
+                "jax.numpy", fromlist=["zeros"]).zeros(pde.n_dofs)):
+            try:
+                jax.eval_shape(self._J, *args)
+            except Exception:
+                self._J(*args)
+        self._auxes = [p._aux_now for p in self._pdes]
+        self._qcoeffs = [q._coeffs for q in self._qos]
+        return self
+
+
+def stage_value_and_grad(J, example_args, has_aux=False):
+    """value_and_grad(J) over a pipeline whose solves all run on the
+    hostloop path, staged as two persistent jitted programs (see module
+    comment). Falls back to compile_pipeline(jax.value_and_grad(J)) when
+    the pipeline has no hostloop solve."""
+    try:
+        return _StagedValueAndGrad(J, tuple(example_args), has_aux=has_aux)
+    except NotImplementedError:
+        return compile_pipeline(
+            jax.value_and_grad(J, has_aux=has_aux), tuple(example_args))

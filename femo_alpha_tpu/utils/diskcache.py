@@ -36,9 +36,9 @@ _CODE_FP = {}
 _KIND_DIRS = {
     # affine design bases / facet operator blocks: produced by the
     # element/assembly/form stack
-    "affine": ("assembly", "elements", "mesh", "spaces", "models", "fea",
+    "affine": ("assembly", "elements", "mesh", "spaces", "models",
                "solvers/dfloat.py", "config.py", "__init__.py"),
-    "facetops": ("assembly", "elements", "mesh", "spaces", "models", "fea",
+    "facetops": ("assembly", "elements", "mesh", "spaces", "models",
                  "solvers/dfloat.py", "config.py", "__init__.py"),
     # hostloop telemetry: performance HINTS only (every influenced value is
     # re-verified against measured truth) — version manually via _SCHEMA

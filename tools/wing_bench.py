@@ -82,6 +82,9 @@ def main():
           f"{n_dofs} dofs: first {first:.2f}s steady {wall:.3f}s "
           f"compliance {c:.6e} |g| {np.linalg.norm(g):.3e}",
           file=sys.stderr)
+    hs = getattr(getattr(model.fea.states["disp_solid"].pde, "_hostloop",
+                         None), "last_stats", {}) or {}
+    pc = type(model.fea.states["disp_solid"].pde._pc).__name__
     print(json.dumps({
         "metric": f"wing_fwd_adjoint_{n_dofs}dofs_wall",
         "value": round(wall, 4),
@@ -89,6 +92,9 @@ def main():
         "n_cells": nel,
         "backend": jax.default_backend(),
         "compile_s": round(first - wall, 1),
+        "precond": pc,
+        "solver_stats": {k: (round(v, 12) if isinstance(v, float) else v)
+                         for k, v in hs.items()},
     }))
 
 
