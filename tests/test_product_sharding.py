@@ -50,6 +50,7 @@ def _run(model, load_scale=2.0):
 
 
 @needs8
+@pytest.mark.slow
 def test_sharded_plate_library_matches_single_device():
     m1 = _plate_model()
     J1, u1, g1 = _run(m1)
@@ -71,6 +72,7 @@ def test_sharded_plate_library_matches_single_device():
 
 
 @needs8
+@pytest.mark.slow
 def test_sharded_platesim_transient_matches_single_device():
     """Transient product path: shard_model(PlateSim) must constrain the
     step operators Ke/Me (and the step-MG level state) over the cell axis
@@ -114,6 +116,7 @@ def test_sharded_platesim_transient_matches_single_device():
 
 
 @needs8
+@pytest.mark.slow
 def test_sharded_wing_library_matches_single_device():
     """Unstructured penalty-BC wing: cell count (not divisible by 8) and
     the band preconditioner's replicated state must both survive GSPMD."""
@@ -131,3 +134,85 @@ def test_sharded_wing_library_matches_single_device():
 
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])
+
+
+# ----------------------------------------------------------------- fast tier
+# Tiny-mesh variants of each product-sharding test (round-4 verdict: the
+# full-size suite exceeded a 590 s cap on the 1-core host — a correctness
+# suite nobody can afford to run stops being run). Run with
+#   pytest tests/test_product_sharding.py -m fast
+# The full-size tests above remain the thorough tier.
+
+
+@needs8
+@pytest.mark.fast
+def test_fast_sharded_plate_matches_single_device():
+    mesh = createRectangleMesh(32, 8, (0, 0), (10.0, 2.0), "quad", gdim=3)
+
+    def build():
+        return RMShellModel(mesh, shell_bc_func=lambda x: x[:, 0] < 1e-12,
+                            element_wise_material=True, PENALTY_BC=False)
+
+    m1 = build()
+    J1, u1, g1 = _run(m1)
+    m8 = build()
+    shard_model(m8, make_device_mesh(8))
+    assert getattr(m8.fea.states["disp_solid"].pde, "shard_spec",
+                   None) is not None
+    J8, u8, g8 = _run(m8)
+    assert abs(J8 - J1) < 1e-9 * abs(J1)
+    assert np.linalg.norm(u8 - u1) < 1e-8 * np.linalg.norm(u1)
+    assert np.linalg.norm(g8 - g1) < 1e-6 * np.linalg.norm(g1)
+
+
+@needs8
+@pytest.mark.fast
+def test_fast_sharded_platesim_transient_matches_single_device():
+    from femo_alpha_tpu.models.dynamic_rm_shell import PlateSim
+
+    def build():
+        mesh = createRectangleMesh(16, 4, (0, 0), (10.0, 2.0), "quad",
+                                   gdim=3)
+        return PlateSim(mesh, E=4.32e8, nu=0.0, rho=100.0, dt=0.01,
+                        Nsteps=2, element_wise_thickness=True,
+                        solver_method="mg", mg_coarsest_cells=16)
+
+    def run(sim):
+        nf = sim.W_f.n_dofs
+        f_hist = jnp.zeros((sim.time_levels, nf)).at[:, 2::3].set(2.0)
+
+        def J(t):
+            w_hist = sim.simulate(t, f_hist)
+            return jnp.sum(sim.strain_energy_history(w_hist, t))
+
+        val, g = jax.value_and_grad(J)(jnp.full(sim.num_var, 0.1))
+        return float(val), np.asarray(g)
+
+    sim1 = build()
+    J1, g1 = run(sim1)
+    sim8 = build()
+    shard_model(sim8, make_device_mesh(8))
+    assert getattr(sim8, "shard_spec", None) is not None
+    J8, g8 = run(sim8)
+    assert abs(J8 - J1) < 1e-9 * abs(J1)
+    assert np.linalg.norm(g8 - g1) < 1e-6 * np.linalg.norm(g1)
+
+
+@needs8
+@pytest.mark.fast
+def test_fast_sharded_wing_matches_single_device():
+    def build():
+        mesh = createWingShellMesh(n_chord=4, n_span=8, rib_stations=(4,),
+                                   shuffle_seed=3)
+        return mesh, RMShellModel(
+            mesh, shell_bc_func=lambda x: x[:, 1] < 1e-9,
+            element_wise_material=True)
+
+    _, m1 = build()
+    J1, u1, g1 = _run(m1, load_scale=200.0)
+    _, m8 = build()
+    shard_model(m8, make_device_mesh(8))
+    J8, u8, g8 = _run(m8, load_scale=200.0)
+    assert abs(J8 - J1) < 1e-9 * abs(J1)
+    assert np.linalg.norm(u8 - u1) < 1e-8 * np.linalg.norm(u1)
+    assert np.linalg.norm(g8 - g1) < 1e-6 * np.linalg.norm(g1)

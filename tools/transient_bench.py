@@ -76,29 +76,38 @@ def main():
 
     fwd = jax.jit(total_energy)
     vg = jax.jit(jax.value_and_grad(total_energy))
+    reps = int(os.environ.get("FEMO_TR_REPS", "3"))
 
     t0 = time.perf_counter()
     e0 = float(fwd(th0))
     fwd_first = time.perf_counter() - t0
+    print(f"[transient_bench] fwd first {fwd_first:.2f}s", file=sys.stderr,
+          flush=True)
     walls_f = []
-    for i in range(3):
+    for i in range(reps):
         thi = th0 * (1.0 + 0.01 * (i + 1))
         t0 = time.perf_counter()
         jax.block_until_ready(fwd(thi))
         walls_f.append(time.perf_counter() - t0)
+        print(f"[transient_bench] fwd steady {walls_f[-1]:.2f}s",
+              file=sys.stderr, flush=True)
     fwd_wall = float(np.median(walls_f))
 
     t0 = time.perf_counter()
     v, g = vg(th0)
     jax.block_until_ready(g)
     vg_first = time.perf_counter() - t0
+    print(f"[transient_bench] fwd+adj first {vg_first:.2f}s",
+          file=sys.stderr, flush=True)
     walls = []
-    for i in range(3):
+    for i in range(reps):
         thi = th0 * (1.0 + 0.01 * (i + 1))
         t0 = time.perf_counter()
         _, gi = vg(thi)
         jax.block_until_ready(gi)
         walls.append(time.perf_counter() - t0)
+        print(f"[transient_bench] fwd+adj steady {walls[-1]:.2f}s",
+              file=sys.stderr, flush=True)
     wall = float(np.median(walls))
 
     gn = float(jnp.linalg.norm(g))
