@@ -155,6 +155,15 @@ class AffineDesignOperator:
                 hi = out.astype(jnp.float32)
                 lo = (out - hi.astype(out.dtype)).astype(jnp.float32)
                 return hi, lo
+            if storage == "f32":
+                # correctly-rounded f32 basis: the OPERATOR is f32-accurate
+                # by design — the hostloop's host-f64 refinement owns true
+                # accuracy, the per-solve attainable true residual with an
+                # f32 PRECONDITIONER is ~1e-7 relative regardless, and the
+                # f32 combine/matvec run at native bandwidth (the df
+                # arithmetic is compute-bound at ~19 GB/s without hardware
+                # FMA — tools/combine_breakdown.py)
+                return out.astype(jnp.float32)
             return out
 
         # constant_folding disabled: the jacfwd tangent graph over the
@@ -431,7 +440,7 @@ class CachedAffineAssembler:
         if len(arrs) != want_n or any(
                 tuple(a.shape) != expected for a in arrs):
             return None
-        if self.storage == "df" and any(
+        if self.storage in ("df", "f32") and any(
                 a.dtype != np.float32 for a in arrs):
             return None
         import jax

@@ -273,12 +273,21 @@ def make_matvec_T(Ae_T, space):
     from .pallas_kernels import cell_matvec_T_pallas, use_pallas_matvec
 
     def matvec(x):
+        # mixed precision: an f32-stored operator (storage='f32' affine
+        # basis) applied to f64 vectors runs the heavy per-cell
+        # contraction in f32 — engaging the Pallas kernel — and returns
+        # in the vector dtype. The product is f32-accurate by design; the
+        # hostloop refinement owns true accuracy (assembly/affine.py).
         xcT = space.gather_T(x)
+        if Ae_T.dtype != xcT.dtype:
+            xcT = xcT.astype(Ae_T.dtype)
         bc = use_pallas_matvec(Ae_T, xcT)
         if bc is not None:
             ycT = cell_matvec_T_pallas(Ae_T, xcT, bc)
         else:
             ycT = cell_matvec_T(Ae_T, xcT)
+        if ycT.dtype != x.dtype:
+            ycT = ycT.astype(x.dtype)
         return space.scatter_add_T(ycT)
 
     return matvec

@@ -72,10 +72,12 @@ def main():
     first = time.perf_counter() - t0
 
     walls = []
-    for i in range(3):
+    for i in range(int(os.environ.get("FEMO_WING_REPS", "3"))):
         t0 = time.perf_counter()
         run(th0 * (1.0 + 0.01 * i))  # new values, same shapes
         walls.append(time.perf_counter() - t0)
+        print(f"[wing_bench] steady {walls[-1]:.2f}s", file=sys.stderr,
+              flush=True)
     wall = min(walls)
 
     print(f"[wing_bench] {jax.default_backend()} {nel} cells "
