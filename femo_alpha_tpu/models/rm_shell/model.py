@@ -269,8 +269,22 @@ class RMShellModel:
             # float-float pair and each re-assembly runs in native-f32
             # float-float arithmetic (the device stores f64 as exactly that
             # pair, so nothing is lost) — XLA's emulated-f64 elementwise
-            # pass was 30x off bandwidth (48 ms vs ~3 ms at 63k dofs)
+            # pass was 30x off bandwidth (48 ms vs ~3 ms at 63k dofs).
+            # An f32-stored operator (storage='f32', FEMO_OP_STORAGE
+            # override) was MEASURED AND REJECTED as the default: on this
+            # workload the residual-evaluation scale rho = |||A||u|+|b|||/
+            # ||b|| is ~1.5e8 (63k) to ~9e9 (988k), so iterative
+            # refinement against an eps-accurate operator contracts by
+            # eps*rho per pass — 5e-7 for the df pair (converges, ~7
+            # digits/pass) but ~18 for f32 (DIVERGES; verified: pass-1
+            # true residual 3.45 vs the recurrence's 4.9e-8).
+            # FEMO_OP_STORAGE=f32|df|f64 overrides for experiments.
+            import os as _oss
+
             sto = "df" if _jaxa.default_backend() == "tpu" else None
+            _sov = _oss.environ.get("FEMO_OP_STORAGE")
+            if _sov is not None:
+                sto = None if _sov == "f64" else _sov
             emf = CachedAffineAssembler(residual_form, layout=lay,
                                         out_layout=lay, storage=sto)
 
