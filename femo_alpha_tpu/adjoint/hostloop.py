@@ -869,6 +869,11 @@ class HostloopPrograms:
         rel, kb, u_np = best
         u = jnp.asarray(u_np)
         self._fwd_cache = {"u_np": u_np, "load_np": load_np}
+        # floor-scale bookkeeping for the adjoint: |||A||u||| = fsc - scale
+        # (floor_scale returns norm(|A||x|) + bnorm) — the collinear-seeded
+        # adjoint's floor is then |alpha|*|||A||u||| + bnorm with NO device
+        # call (each floor_scale sync costs ~30-60 ms on the tunnel)
+        self._fwd_fsc = None if fsc is None else (fsc, scale)
         self.last_stats.update(fwd_iters=iters, fwd_passes=k, fwd_rel=rel)
         if rel > self.warn_rel and rel * scale > 2.0 * host_floor:
             log(f"hostloop forward: host-f64-true rel_res {rel:.2e} at "
@@ -954,20 +959,26 @@ class HostloopPrograms:
         u_np = np.asarray(u, dtype=np.float64)
         b_np = np.asarray(b, dtype=np.float64)
         lam_np = None
+        fsc = None
         fc = getattr(self, "_fwd_cache", None)
         if fc is not None:
             ln = float(np.linalg.norm(fc["load_np"]))
             if ln > 0.0:
                 cos = float(fc["load_np"] @ b_np) / (ln * bnorm)
                 if abs(abs(cos) - 1.0) < 1e-12:
-                    lam_np = fh * fc["u_np"] * (bnorm / ln) * np.sign(cos)
+                    alpha = (bnorm / ln) * np.sign(cos)
+                    lam_np = fh * fc["u_np"] * alpha
+                    ff = getattr(self, "_fwd_fsc", None)
+                    if ff is not None:
+                        # exact for this seed: see _forward_affine
+                        fsc = abs(alpha) * max(ff[0] - ff[1], 0.0) + bnorm
+                        fsc_at_zero = False
         if lam_np is None and getattr(self, "_last_lam_np", None) is not None \
                 and self._last_lam_np.shape == b_np.shape:
             lam_np = self._last_lam_np
         if lam_np is None:
             lam_np = np.zeros_like(b_np)
         iters = 0
-        fsc = None
         prev = None
         best = None
         for k in range(self.refine_passes + 2):
