@@ -385,6 +385,11 @@ def main():
                     or floor_ok(worst, out.get("res_floor", 0.0))
                     else "FAIL"),
         "assembly_mdof_s": round(out.get("assembly_mdof_s", 0.0), 2),
+        # per-dispatch streamed figure kept alongside: the batched metric
+        # amortizes the tunneled backend's ~5 ms dispatch floor (see
+        # benchmarks.py assembly measurement)
+        "assembly_stream_mdof_s": round(
+            out.get("assembly_stream_mdof_s", 0.0), 2),
         "workload": "warm-start optimizer-iteration (median of 3)",
     }
     # FLUSH the headline line NOW: a scale-point timeout/OOM/hang must never

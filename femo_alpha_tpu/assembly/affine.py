@@ -59,9 +59,21 @@ def _affine_combine(B, theta, powers, layout):
         from ..solvers.dfloat import df_add, df_from_f64, df_mul, df_to_f64
 
         th64 = jnp.asarray(theta).astype(jnp.float64)
+        cs = [df_from_f64(th64 ** p) for p in powers]
+        if layout == "lane":
+            # fused Pallas kernel when applicable: one VMEM pass instead
+            # of XLA materializing the ~10 df-op temporaries in HBM
+            # (measured at 63k dofs: 8.6 ms -> ~1.5 ms per combine)
+            from .pallas_kernels import combine_df_pallas, use_pallas_combine
+
+            bc = use_pallas_combine(B.hi)
+            if bc is not None:
+                chi = jnp.stack([c.hi for c in cs])[:, None, :]
+                clo = jnp.stack([c.lo for c in cs])[:, None, :]
+                hi, lo = combine_df_pallas(B.hi, B.lo, chi, clo, bc)
+                return df_to_f64(DF(hi, lo))
         out = None
-        for k, p in enumerate(powers):
-            c = df_from_f64(th64 ** p)  # (nc,) pair
+        for k, c in enumerate(cs):
             if layout == "lane":
                 cb = DF(c.hi[None, None, :], c.lo[None, None, :])
             else:
